@@ -1,0 +1,167 @@
+"""Discriminator (reference Discriminator, GAN.py:300-444 + Blocks.py:91-146).
+
+Mirrored progressive architecture: per-stage from_rgb 1x1 convs, conv->blur->
+downscale-conv blocks, and a final minibatch-stddev + conv + dense head.
+`depth` is static (one compiled program per stage); `alpha` traced.
+
+Layout note: the final head flattens the 4x4 feature map in *channel-major*
+(NCHW) order so dense weights remain interchangeable with converted torch
+checkpoints (reference View(-1), Blocks.py:127).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (avg_pool2d, blur2d, conv2d_apply, conv2d_init, leaky_relu,
+                   linear_apply, linear_init, make_blur_kernel,
+                   minibatch_stddev)
+from .configs import DiscriminatorConfig
+
+_GAIN = math.sqrt(2)
+
+
+def discriminator_block_init(key, cfg: DiscriminatorConfig, in_ch: int,
+                             out_ch: int, dtype=jnp.float32) -> dict:
+    k0, k1 = jax.random.split(key)
+    return {
+        "conv0": conv2d_init(k0, in_ch, in_ch, 3, gain=_GAIN,
+                             use_wscale=cfg.use_wscale, dtype=dtype),
+        "conv1_down": conv2d_init(k1, in_ch, out_ch, 3, gain=_GAIN,
+                                  use_wscale=cfg.use_wscale, dtype=dtype),
+    }
+
+
+def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
+                              x: jax.Array) -> jax.Array:
+    """conv0 -> act -> blur -> conv1_down -> act (Blocks.py:137-146)."""
+    act = leaky_relu if cfg.nonlinearity == "lrelu" else jax.nn.relu
+    x = conv2d_apply(params["conv0"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
+    x = act(x)
+    if cfg.blur_filter:
+        x = blur2d(x, make_blur_kernel(cfg.blur_filter))
+    x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
+                     use_wscale=cfg.use_wscale, downscale=True)
+    return act(x)
+
+
+def discriminator_top_init(key, cfg: DiscriminatorConfig,
+                           dtype=jnp.float32) -> dict:
+    """Final block (reference DiscriminatorTop, Blocks.py:91-134)."""
+    kc, k0, k1 = jax.random.split(key, 3)
+    in_ch = cfg.nf(2)
+    return {
+        "conv": conv2d_init(kc, in_ch + cfg.mbstd_num_features, in_ch, 3,
+                            gain=_GAIN, use_wscale=cfg.use_wscale, dtype=dtype),
+        "dense0": linear_init(k0, in_ch * 4 * 4, in_ch, gain=_GAIN,
+                              use_wscale=cfg.use_wscale, dtype=dtype),
+        "dense1": linear_init(k1, in_ch, 1, gain=1.0,
+                              use_wscale=cfg.use_wscale, dtype=dtype),
+    }
+
+
+def discriminator_top_apply(cfg: DiscriminatorConfig, params: dict,
+                            x: jax.Array) -> jax.Array:
+    act = leaky_relu if cfg.nonlinearity == "lrelu" else jax.nn.relu
+    if cfg.mbstd_group_size > 1:
+        x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_num_features)
+    x = conv2d_apply(params["conv"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
+    x = act(x)
+    # channel-major flatten for torch-checkpoint weight compatibility
+    b = x.shape[0]
+    x = x.transpose(0, 3, 1, 2).reshape(b, -1)
+    x = linear_apply(params["dense0"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
+    x = act(x)
+    return linear_apply(params["dense1"], x, gain=1.0, use_wscale=cfg.use_wscale)
+
+
+def discriminator_init(key, cfg: DiscriminatorConfig, dtype=jnp.float32) -> dict:
+    rlog2 = cfg.resolution_log2
+    n_blocks = rlog2 - 2
+    keys = jax.random.split(key, 2 * n_blocks + 2 + (n_blocks + 1))
+    blocks, from_rgb, embeddings = [], [], []
+    ki = 0
+    in_ch_img = cfg.input_channels
+    for res in range(rlog2, 2, -1):
+        blocks.append(discriminator_block_init(
+            keys[ki], cfg, cfg.nf(res - 1), cfg.nf(res - 2), dtype)); ki += 1
+        from_rgb.append(conv2d_init(
+            keys[ki], in_ch_img, cfg.nf(res - 1), 1, gain=_GAIN,
+            use_wscale=cfg.use_wscale, dtype=dtype)); ki += 1
+        if cfg.conditional:
+            r = 2 ** res
+            embeddings.append({"weight": jax.random.normal(
+                keys[2 * n_blocks + 2 + len(embeddings)],
+                (cfg.n_classes, cfg.num_channels * r * r), dtype)})
+    if cfg.conditional:
+        embeddings.append({"weight": jax.random.normal(
+            keys[2 * n_blocks + 2 + len(embeddings)],
+            (cfg.n_classes, cfg.num_channels * 4 * 4), dtype)})
+
+    params = {
+        "blocks": blocks,
+        "final_block": discriminator_top_init(keys[ki], cfg, dtype),
+    }
+    ki += 1
+    from_rgb.append(conv2d_init(keys[ki], in_ch_img, cfg.nf(2), 1, gain=_GAIN,
+                                use_wscale=cfg.use_wscale, dtype=dtype))
+    params["from_rgb"] = from_rgb
+    if cfg.conditional:
+        params["embeddings"] = embeddings
+    return params
+
+
+def _concat_label_planes(params: dict, emb_idx: int, images: jax.Array,
+                         labels: jax.Array) -> jax.Array:
+    """Label embedding reshaped to image planes and channel-concatenated
+    (reference GAN.py:402-437; torch view is NCHW/C-major)."""
+    b, h, w, _ = images.shape
+    emb = jnp.take(params["embeddings"][emb_idx]["weight"], labels, axis=0)
+    emb = emb.reshape(b, -1, h, w).transpose(0, 2, 3, 1)
+    return jnp.concatenate([images, emb], axis=-1)
+
+
+def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
+                        images: jax.Array, depth: int, alpha=1.0,
+                        labels: Optional[jax.Array] = None) -> jax.Array:
+    """images: (B, H, W, C) at resolution 2^(depth+2) -> scores (B, 1)."""
+    assert depth < cfg.depth, "Requested output depth cannot be produced"
+    if cfg.conditional:
+        assert labels is not None, "Conditional discriminator requires labels"
+
+    if cfg.structure == "fixed":
+        if cfg.conditional:
+            images = _concat_label_planes(params, 0, images, labels)
+        x = conv2d_apply(params["from_rgb"][0], images, gain=_GAIN,
+                         use_wscale=cfg.use_wscale)
+        for block in params["blocks"]:
+            x = discriminator_block_apply(cfg, block, x)
+        return discriminator_top_apply(cfg, params["final_block"], x)
+
+    if cfg.structure != "linear":
+        raise KeyError(f"Unknown structure: {cfg.structure}")
+
+    if depth > 0:
+        if cfg.conditional:
+            images = _concat_label_planes(params, cfg.depth - depth - 1,
+                                          images, labels)
+        residual = conv2d_apply(params["from_rgb"][cfg.depth - depth],
+                                avg_pool2d(images, 2), gain=_GAIN,
+                                use_wscale=cfg.use_wscale)
+        straight = discriminator_block_apply(
+            cfg, params["blocks"][cfg.depth - depth - 1],
+            conv2d_apply(params["from_rgb"][cfg.depth - depth - 1], images,
+                         gain=_GAIN, use_wscale=cfg.use_wscale))
+        x = alpha * straight + (1.0 - alpha) * residual
+        for i in range(cfg.depth - depth, len(params["blocks"])):
+            x = discriminator_block_apply(cfg, params["blocks"][i], x)
+    else:
+        if cfg.conditional:
+            images = _concat_label_planes(params, -1, images, labels)
+        x = conv2d_apply(params["from_rgb"][-1], images, gain=_GAIN,
+                         use_wscale=cfg.use_wscale)
+    return discriminator_top_apply(cfg, params["final_block"], x)

@@ -77,10 +77,14 @@ def generator_apply(cfg: GeneratorConfig, params: dict, latents: jax.Array,
             raise ValueError("train-mode generator_apply needs an rng key")
         rng, k_mix_z, k_mix_p, k_cut = jax.random.split(rng, 4)
 
-        # W moving-average update from dlatents[0, 0] (reference GAN.py:278)
+        # W moving-average update from dlatents[0, 0] (reference GAN.py:278).
+        # Detached, and the truncation lerp below treats the average as a
+        # constant (torch buffers carry no grad) — so no gradient flows
+        # through the average path.
         if cfg.use_truncation:
             new_avg = update_moving_average(
-                params["truncation"]["avg_latent"], dlatents[0, 0],
+                params["truncation"]["avg_latent"],
+                jax.lax.stop_gradient(dlatents[0, 0]),
                 cfg.dlatent_avg_beta)
 
         # Style mixing regularization (reference GAN.py:281-289)
@@ -97,7 +101,8 @@ def generator_apply(cfg: GeneratorConfig, params: dict, latents: jax.Array,
 
         # Truncation trick, applied in the training branch (GAN.py:291-293)
         if cfg.use_truncation:
-            dlatents = truncate_dlatents(dlatents, new_avg,
+            dlatents = truncate_dlatents(dlatents,
+                                         jax.lax.stop_gradient(new_avg),
                                          cfg.truncation_psi,
                                          cfg.truncation_cutoff)
 

@@ -1,0 +1,47 @@
+"""Training state pytree and optimizer construction.
+
+Optimizers mirror the reference exactly (GAN.py:529-533, 649-652):
+  * D: Adam(lr, betas, eps) on discriminator params.
+  * G: global-norm clip at 10 *then* Adam — optax.chain order reproduces
+    torch's clip_grad_norm_-before-step semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import optax
+
+
+class TrainState(NamedTuple):
+    """Everything carried across steps; a pure pytree, donated into each
+    jitted train step."""
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    g_shadow: Optional[Any]  # EMA copy of g_params (None when use_ema=False)
+
+
+def make_g_optimizer(learning_rate=0.003, beta_1=0.0, beta_2=0.99, eps=1e-8,
+                     clip_norm=10.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adam(learning_rate, b1=beta_1, b2=beta_2, eps=eps),
+    )
+
+
+def make_d_optimizer(learning_rate=0.003, beta_1=0.0, beta_2=0.99, eps=1e-8):
+    return optax.adam(learning_rate, b1=beta_1, b2=beta_2, eps=eps)
+
+
+def create_train_state(g_params, d_params, g_tx, d_tx, use_ema: bool) -> TrainState:
+    import jax
+    g_shadow = jax.tree_util.tree_map(lambda x: x, g_params) if use_ema else None
+    return TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        g_shadow=g_shadow,
+    )

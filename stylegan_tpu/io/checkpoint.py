@@ -33,10 +33,12 @@ import numpy as np
 def _path_str(path) -> str:
     parts = []
     for k in path:
-        if hasattr(k, "key"):
+        if hasattr(k, "key"):          # DictKey
             parts.append(str(k.key))
-        elif hasattr(k, "idx"):
+        elif hasattr(k, "idx"):        # SequenceKey
             parts.append(str(k.idx))
+        elif hasattr(k, "name"):       # GetAttrKey (namedtuples, optax states)
+            parts.append(str(k.name))
         else:
             parts.append(str(k))
     return ".".join(parts)
@@ -59,9 +61,14 @@ def unflatten_like(template, flat: dict, partial: bool = True):
         if isinstance(node, dict):
             return {k: walk(v, f"{prefix}.{k}" if prefix else k)
                     for k, v in node.items()}
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+            out = [walk(getattr(node, f), f"{prefix}.{f}" if prefix else f)
+                   for f in node._fields]
+            return type(node)(*out)
         if isinstance(node, (list, tuple)):
-            out = [walk(v, f"{prefix}.{i}") for i, v in enumerate(node)]
-            return type(node)(out) if isinstance(node, tuple) else out
+            out = [walk(v, f"{prefix}.{i}" if prefix else str(i))
+                   for i, v in enumerate(node)]
+            return tuple(out) if isinstance(node, tuple) else out
         if prefix in flat:
             v = flat[prefix]
             if np.asarray(node).shape == v.shape:

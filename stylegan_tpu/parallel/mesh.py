@@ -1,0 +1,45 @@
+"""Mesh construction for SPMD data-parallel training.
+
+The framework scales the reference's single-device loop (SURVEY.md §2.11:
+the reference has *no* multi-device path) by sharding the minibatch over a
+1-D 'data' axis spanning all local (or all global, under jax.distributed)
+devices: params and optimizer state replicated, gradients pmean'd over ICI
+inside the compiled step (train/steps.py).  Multi-host: initialize
+jax.distributed before calling create_mesh and pass per-host data shards via
+the loader's (shard_index, num_shards).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        assert n_devices <= len(devices), \
+            f"requested {n_devices} devices, have {len(devices)}"
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def maybe_create_mesh(parallel_cfg=None) -> Optional[Mesh]:
+    """Mesh from config: None for a single device (no shard_map overhead)."""
+    n = jax.device_count()
+    if parallel_cfg is not None:
+        axis = parallel_cfg.get("data_axis", "auto")
+        if axis != "auto":
+            n = int(axis)
+    if n <= 1:
+        return None
+    return create_mesh(n)

@@ -37,7 +37,11 @@ def make_d_optimizer(learning_rate=0.003, beta_1=0.0, beta_2=0.99, eps=1e-8):
 
 def create_train_state(g_params, d_params, g_tx, d_tx, use_ema: bool) -> TrainState:
     import jax
-    g_shadow = jax.tree_util.tree_map(lambda x: x, g_params) if use_ema else None
+    import jax.numpy as jnp
+    # materialize fresh buffers (not aliases) so the train step can donate
+    # the whole state without double-donation
+    g_shadow = (jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                       g_params) if use_ema else None)
     return TrainState(
         g_params=g_params,
         d_params=d_params,

@@ -164,6 +164,106 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     return jax.jit(full, donate_argnums=(0,) if donate else ())
 
 
+def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
+                 loss: str = "relativistic-hinge", d_repeats: int = 1,
+                 conditional: bool = False, mesh: Optional[Mesh] = None):
+    """Standalone discriminator update (reference optimize_discriminator,
+    GAN.py:591-622) for users running their own loop.  Signature:
+    step(d_params, d_opt_state, g_params, reals, z, key, alpha[, labels])
+    -> (d_params, d_opt_state, g_avg_latent, loss)."""
+    dis_loss_fn, _ = get_loss(loss, conditional)
+    total_depth = dis_cfg.depth
+    axis_name = AXIS if mesh is not None else None
+
+    def d_loss(d_params, g_params, z, reals_cur, key, alpha, labels):
+        out = generator_apply(gen_cfg, g_params, z, depth=depth, alpha=alpha,
+                              rng=key, train=True, labels=labels)
+        fakes = jax.lax.stop_gradient(out.images)
+        dis_fn = lambda imgs: discriminator_apply(
+            dis_cfg, d_params, imgs, depth=depth, alpha=alpha, labels=labels)
+        return dis_loss_fn(dis_fn, reals_cur, fakes, axis_name), out.avg_latent
+
+    grad_fn = jax.value_and_grad(d_loss, has_aux=True)
+
+    def body(d_params, d_opt_state, g_params, reals, z, key, alpha, labels):
+        reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
+                                           dis_cfg.structure)
+        loss_total, avg = 0.0, None
+        for rep in range(d_repeats):
+            (lv, avg), grads = grad_fn(d_params, g_params, z, reals_cur,
+                                       jax.random.fold_in(key, rep), alpha,
+                                       labels)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            g_params = _with_avg(g_params, avg)
+            loss_total = loss_total + lv
+        return d_params, d_opt_state, avg, loss_total / d_repeats
+
+    if conditional:
+        fn = lambda dp, do, gp, r, z, k, a, lab: body(dp, do, gp, r, z, k, a, lab)
+    else:
+        fn = lambda dp, do, gp, r, z, k, a: body(dp, do, gp, r, z, k, a, None)
+
+    if mesh is not None:
+        rep, shd = P(), P(AXIS)
+        in_specs = (rep, rep, rep, shd, shd, rep, rep) + ((shd,) if conditional else ())
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=(rep, rep, rep, rep), check_vma=False)
+    return jax.jit(fn)
+
+
+def build_g_step(gen_cfg, dis_cfg, g_tx, *, depth: int,
+                 loss: str = "relativistic-hinge", use_ema: bool = True,
+                 ema_decay: float = 0.999, conditional: bool = False,
+                 mesh: Optional[Mesh] = None):
+    """Standalone generator update (reference optimize_generator,
+    GAN.py:624-659).  Signature:
+    step(g_params, g_opt_state, g_shadow, d_params, reals, z, key, alpha
+         [, labels]) -> (g_params, g_opt_state, g_shadow, loss)."""
+    _, gen_loss_fn = get_loss(loss, conditional)
+    total_depth = dis_cfg.depth
+    axis_name = AXIS if mesh is not None else None
+
+    def g_loss(g_params, d_params, z, reals_cur, key, alpha, labels):
+        out = generator_apply(gen_cfg, g_params, z, depth=depth, alpha=alpha,
+                              rng=key, train=True, labels=labels)
+        dis_fn = lambda imgs: discriminator_apply(
+            dis_cfg, d_params, imgs, depth=depth, alpha=alpha, labels=labels)
+        return gen_loss_fn(dis_fn, reals_cur, out.images, axis_name), out.avg_latent
+
+    grad_fn = jax.value_and_grad(g_loss, has_aux=True)
+
+    def body(g_params, g_opt_state, g_shadow, d_params, reals, z, key, alpha,
+             labels):
+        reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
+                                           dis_cfg.structure)
+        (lv, avg), grads = grad_fn(g_params, d_params, z, reals_cur, key,
+                                   alpha, labels)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, g_opt_state = g_tx.update(grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, updates)
+        g_params = _with_avg(g_params, avg)
+        if use_ema and g_shadow is not None:
+            g_shadow = ema_update(g_shadow, g_params, ema_decay)
+        return g_params, g_opt_state, g_shadow, lv
+
+    if conditional:
+        fn = lambda gp, go, gs, dp, r, z, k, a, lab: body(gp, go, gs, dp, r, z, k, a, lab)
+    else:
+        fn = lambda gp, go, gs, dp, r, z, k, a: body(gp, go, gs, dp, r, z, k, a, None)
+
+    if mesh is not None:
+        rep, shd = P(), P(AXIS)
+        in_specs = (rep, rep, rep, rep, shd, shd, rep, rep) + \
+            ((shd,) if conditional else ())
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=(rep, rep, rep, rep), check_vma=False)
+    return jax.jit(fn)
+
+
 def build_sample_fn(gen_cfg, *, depth: int, train_semantics: bool = True):
     """Compiled sampling function for feedback grids and the generate CLIs.
 

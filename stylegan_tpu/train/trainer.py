@@ -1,0 +1,285 @@
+"""Progressive-growing trainer (reference StyleGAN wrapper, GAN.py:447-826).
+
+Host-side orchestration only — all math lives in the per-depth compiled step
+(steps.py).  The progressive schedule (per-depth epochs/batch sizes/fade-in)
+follows the reference exactly: alpha ramps linearly over the first
+``fade_in_percentage`` of a depth's batches (GAN.py:748-753), reals are
+fade-blended on device, feedback grids come from the EMA shadow generator in
+train-mode sampling (GAN.py:786-793), checkpoints are written per the same
+cadence and naming scheme (GAN.py:803-824; `.npz` instead of `.pth`).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_data_loader
+from ..io import checkpoint as ckpt
+from ..io.image import save_image_grid
+from ..models import (discriminator_init, generator_init)
+from ..models.configs import (DiscriminatorConfig, GeneratorConfig,
+                              MappingConfig, SynthesisConfig)
+from .state import (create_train_state, make_d_optimizer, make_g_optimizer)
+from .steps import build_sample_fn, build_train_step
+
+
+def _gen_config_from_args(structure, resolution, num_channels, latent_size,
+                          conditional, n_classes, g_args) -> GeneratorConfig:
+    blur = g_args.get("blur_filter", [1, 2, 1])
+    blur = tuple(blur) if blur else None
+    eff_latent = latent_size * 2 if conditional else latent_size
+    num_layers = (int(np.log2(resolution)) - 1) * 2
+    return GeneratorConfig(
+        resolution=resolution, latent_size=latent_size,
+        conditional=conditional, n_classes=n_classes,
+        truncation_psi=float(g_args.get("truncation_psi", 0.7)),
+        truncation_cutoff=int(g_args.get("truncation_cutoff", 8)),
+        mapping=MappingConfig(latent_size=eff_latent,
+                              dlatent_broadcast=num_layers,
+                              mapping_layers=int(g_args.get("mapping_layers", 8))),
+        synthesis=SynthesisConfig(resolution=resolution,
+                                  num_channels=num_channels, blur_filter=blur,
+                                  structure=structure))
+
+
+def _dis_config_from_args(structure, resolution, num_channels, conditional,
+                          n_classes, d_args) -> DiscriminatorConfig:
+    blur = d_args.get("blur_filter", [1, 2, 1])
+    blur = tuple(blur) if blur else None
+    return DiscriminatorConfig(
+        resolution=resolution, num_channels=num_channels,
+        conditional=conditional, n_classes=n_classes,
+        use_wscale=bool(d_args.get("use_wscale", True)),
+        blur_filter=blur, structure=structure)
+
+
+class StyleGAN:
+    """Generator+Discriminator training wrapper (API mirror of the reference
+    StyleGAN class; `device` is replaced by an optional jax Mesh for
+    data-parallel training)."""
+
+    def __init__(self, structure, resolution, num_channels, latent_size,
+                 g_args, d_args, g_opt_args, d_opt_args, conditional=False,
+                 n_classes=0, loss="relativistic-hinge", drift=0.001,
+                 d_repeats=1, use_ema=False, ema_decay=0.999,
+                 mesh=None, seed=0):
+        assert structure in ["fixed", "linear"]
+        if conditional:
+            assert n_classes > 0, "Conditional GANs require n_classes > 0"
+
+        self.structure = structure
+        self.depth = int(np.log2(resolution)) - 1
+        self.latent_size = latent_size
+        self.d_repeats = d_repeats
+        self.conditional = conditional
+        self.n_classes = n_classes
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.mesh = mesh
+        self.loss_name = loss if isinstance(loss, str) else "relativistic-hinge"
+        self.drift = drift  # stored, unused — mirrors reference GAN.py:517
+
+        g_args = dict(g_args)
+        d_args = dict(d_args)
+        self.gen_cfg = _gen_config_from_args(
+            structure, resolution, num_channels, latent_size, conditional,
+            n_classes, g_args)
+        self.dis_cfg = _dis_config_from_args(
+            structure, resolution, num_channels, conditional, n_classes,
+            d_args)
+
+        key = jax.random.PRNGKey(seed)
+        k_g, k_d, self._key = jax.random.split(key, 3)
+        g_params = generator_init(k_g, self.gen_cfg)
+        d_params = discriminator_init(k_d, self.dis_cfg)
+
+        self.g_tx = make_g_optimizer(**dict(g_opt_args))
+        self.d_tx = make_d_optimizer(**dict(d_opt_args))
+        self.state = create_train_state(g_params, d_params, self.g_tx,
+                                        self.d_tx, use_ema=use_ema)
+        self._steps = {}        # depth -> compiled fused train step
+        self._sample_fns = {}   # depth -> compiled sampler
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _get_step(self, depth: int):
+        if depth not in self._steps:
+            self._steps[depth] = build_train_step(
+                self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx, depth=depth,
+                loss=self.loss_name, d_repeats=self.d_repeats,
+                use_ema=self.use_ema, ema_decay=self.ema_decay,
+                conditional=self.conditional, mesh=self.mesh)
+        return self._steps[depth]
+
+    def _get_sample_fn(self, depth: int):
+        if depth not in self._sample_fns:
+            self._sample_fns[depth] = build_sample_fn(self.gen_cfg, depth=depth)
+        return self._sample_fns[depth]
+
+    # ------------------------------------------------------------------
+    def train_on_batch(self, images, depth, alpha, labels=None):
+        """One fused D+G update on a batch of full-res reals."""
+        step = self._get_step(depth)
+        key = self._next_key()
+        z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),
+                              (images.shape[0], self.latent_size))
+        args = (self.state, jnp.asarray(images), z, key, jnp.float32(alpha))
+        if self.conditional:
+            args = args + (jnp.asarray(labels),)
+        self.state, metrics = step(*args)
+        return float(metrics["d_loss"]), float(metrics["g_loss"])
+
+    def sample(self, depth, alpha, num_samples=None, z=None, labels=None,
+               update_shadow_avg=True):
+        """Feedback sampling through the EMA shadow generator, train-mode
+        semantics like the reference (GAN.py:786-793)."""
+        fn = self._get_sample_fn(depth)
+        params = self.state.g_shadow if (self.use_ema and
+                                         self.state.g_shadow is not None) \
+            else self.state.g_params
+        if z is None:
+            z = jax.random.normal(self._next_key(),
+                                  (num_samples, self.latent_size))
+        images, new_avg = fn(params, z, self._next_key(), jnp.float32(alpha),
+                             labels)
+        if update_shadow_avg and new_avg is not None and self.use_ema \
+                and self.state.g_shadow is not None:
+            shadow = dict(self.state.g_shadow)
+            shadow["truncation"] = {"avg_latent": new_avg}
+            self.state = self.state._replace(g_shadow=shadow)
+        return np.asarray(images)
+
+    # ------------------------------------------------------------------
+    def train(self, dataset, num_workers, epochs, batch_sizes,
+              fade_in_percentage, logger, output, num_samples=36,
+              start_depth=0, feedback_factor=100, checkpoint_factor=1):
+        """Progressive training loop (reference GAN.py:682-826)."""
+        assert self.depth <= len(epochs), "epochs not compatible with depth"
+        assert self.depth <= len(batch_sizes), \
+            "batch_sizes not compatible with depth"
+        assert self.depth <= len(fade_in_percentage), \
+            "fade_in_percentage not compatible with depth"
+
+        global_time = time.time()
+        fixed_input = jax.random.normal(jax.random.PRNGKey(42),
+                                        (num_samples, self.latent_size))
+        fixed_labels = None
+        if self.conditional:
+            fixed_labels = jnp.asarray(np.linspace(
+                0, self.n_classes - 1, num_samples).astype(np.int64))
+
+        logger.info("Starting the training process ... \n")
+        if self.structure == "fixed":
+            start_depth = self.depth - 1
+        step_count = 1
+        for current_depth in range(start_depth, self.depth):
+            current_res = 2 ** (current_depth + 2)
+            logger.info("Currently working on depth: %d", current_depth + 1)
+            logger.info("Current resolution: %d x %d", current_res, current_res)
+            ticker = 1
+            data = get_data_loader(dataset, batch_sizes[current_depth],
+                                   num_workers)
+            for epoch in range(1, epochs[current_depth] + 1):
+                start = time.time()
+                logger.info("Epoch: [%d]", epoch)
+                total_batches = len(data)
+                fade_point = int((fade_in_percentage[current_depth] / 100)
+                                 * epochs[current_depth] * total_batches)
+
+                for i, batch in enumerate(data, 1):
+                    alpha = ticker / fade_point if ticker <= fade_point else 1
+                    if self.conditional:
+                        images, labels = batch
+                    else:
+                        images, labels = batch, None
+                    dis_loss, gen_loss = self.train_on_batch(
+                        images, current_depth, alpha, labels)
+
+                    if i % int(total_batches / feedback_factor + 1) == 0 \
+                            or i == 1:
+                        elapsed = str(datetime.timedelta(
+                            seconds=time.time() - global_time)).split(".")[0]
+                        logger.info(
+                            "Elapsed: [%s] Step: %d  Batch: %d  "
+                            "D_Loss: %f  G_Loss: %f",
+                            elapsed, step_count, i, dis_loss, gen_loss)
+                        os.makedirs(os.path.join(output, "samples"),
+                                    exist_ok=True)
+                        grid_file = os.path.join(
+                            output, "samples",
+                            f"gen_{current_depth}_{epoch}_{i}.png")
+                        samples = self.sample(current_depth, alpha,
+                                              z=fixed_input,
+                                              labels=fixed_labels)
+                        scale = (2 ** (self.depth - current_depth - 1)
+                                 if self.structure == "linear" else 1)
+                        save_image_grid(
+                            adjust01(samples), grid_file, scale_factor=scale)
+                    ticker += 1
+                    step_count += 1
+
+                elapsed = str(datetime.timedelta(
+                    seconds=time.time() - start)).split(".")[0]
+                logger.info("Time taken for epoch: %s\n", elapsed)
+
+                if epoch % checkpoint_factor == 0 or epoch == 1 \
+                        or epoch == epochs[current_depth]:
+                    self.save_checkpoints(output, current_depth, epoch, logger)
+        logger.info("Training completed.\n")
+
+    # ------------------------------------------------------------------
+    def save_checkpoints(self, output, depth, epoch, logger=None):
+        save_dir = os.path.join(output, "models")
+        os.makedirs(save_dir, exist_ok=True)
+        tag = f"{depth}_{epoch}"
+        meta = {"depth": depth, "epoch": epoch}
+        ckpt.save_params(os.path.join(save_dir, f"GAN_GEN_{tag}.npz"),
+                         self.state.g_params, meta)
+        ckpt.save_params(os.path.join(save_dir, f"GAN_DIS_{tag}.npz"),
+                         self.state.d_params, meta)
+        ckpt.save_params(os.path.join(save_dir, f"GAN_GEN_OPTIM_{tag}.npz"),
+                         self.state.g_opt_state, meta)
+        ckpt.save_params(os.path.join(save_dir, f"GAN_DIS_OPTIM_{tag}.npz"),
+                         self.state.d_opt_state, meta)
+        if self.use_ema and self.state.g_shadow is not None:
+            ckpt.save_params(
+                os.path.join(save_dir, f"GAN_GEN_SHADOW_{tag}.npz"),
+                self.state.g_shadow, meta)
+        if logger:
+            logger.info("Saved checkpoints to %s (tag %s)\n", save_dir, tag)
+
+    def load_generator(self, path):
+        tree, _ = ckpt.load_params_into(self.state.g_params, path)
+        self.state = self.state._replace(g_params=tree)
+
+    def load_gen_shadow(self, path):
+        if self.state.g_shadow is not None:
+            tree, _ = ckpt.load_params_into(self.state.g_shadow, path)
+            self.state = self.state._replace(g_shadow=tree)
+
+    def load_discriminator(self, path):
+        tree, _ = ckpt.load_params_into(self.state.d_params, path)
+        self.state = self.state._replace(d_params=tree)
+
+    def load_gen_optim(self, path):
+        tree, _ = ckpt.load_params_into(self.state.g_opt_state, path)
+        self.state = self.state._replace(g_opt_state=tree)
+
+    def load_dis_optim(self, path):
+        tree, _ = ckpt.load_params_into(self.state.d_opt_state, path)
+        self.state = self.state._replace(d_opt_state=tree)
+
+
+def adjust01(samples):
+    """[-1,1] -> [0,1] for the grid writer."""
+    return np.clip((np.asarray(samples) + 1.0) / 2.0, 0.0, 1.0)

@@ -1,0 +1,132 @@
+"""End-to-end progressive training smoke test on synthetic data, plus
+checkpoint save/resume round trip."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from stylegan_tpu.data import SyntheticDataset
+from stylegan_tpu.io import checkpoint as ckpt
+from stylegan_tpu.train import StyleGAN
+
+RES = 16
+
+
+def make_trainer(tmp, structure="linear", loss="relativistic-hinge",
+                 conditional=False, n_classes=0, use_ema=True):
+    g_args = {"latent_size": 64, "mapping_layers": 2,
+              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
+              "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+    return StyleGAN(structure=structure, resolution=RES, num_channels=3,
+                    latent_size=64, g_args=g_args, d_args=d_args,
+                    g_opt_args=opt_args, d_opt_args=opt_args,
+                    conditional=conditional, n_classes=n_classes,
+                    loss=loss, use_ema=use_ema, seed=0)
+
+
+def test_progressive_training_end_to_end(tmp_path):
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+    trainer = make_trainer(out)
+    dataset = SyntheticDataset(n=32, resolution=RES)
+    logger = logging.getLogger("test")
+
+    trainer.train(dataset=dataset, num_workers=2,
+                  epochs=[1, 1, 1], batch_sizes=[8, 8, 8],
+                  fade_in_percentage=[50, 50, 50], logger=logger,
+                  output=out, num_samples=4, start_depth=0,
+                  feedback_factor=2, checkpoint_factor=1)
+
+    samples = os.listdir(os.path.join(out, "samples"))
+    assert any(s.startswith("gen_0_") for s in samples)
+    assert any(s.startswith("gen_2_") for s in samples)
+    models = os.listdir(os.path.join(out, "models"))
+    for stem in ["GAN_GEN_2_1", "GAN_DIS_2_1", "GAN_GEN_OPTIM_2_1",
+                 "GAN_DIS_OPTIM_2_1", "GAN_GEN_SHADOW_2_1"]:
+        assert f"{stem}.npz" in models, models
+
+    # every param finite after training
+    for leaf in jax.tree_util.tree_leaves(trainer.state.g_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_resume_roundtrip(tmp_path):
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+    t1 = make_trainer(out)
+    dataset = SyntheticDataset(n=16, resolution=RES)
+    logger = logging.getLogger("test")
+    t1.train(dataset=dataset, num_workers=1, epochs=[1, 1, 1],
+             batch_sizes=[8, 8, 8], fade_in_percentage=[50, 50, 50],
+             logger=logger, output=out, num_samples=4, start_depth=2,
+             feedback_factor=1, checkpoint_factor=1)
+
+    t2 = make_trainer(out)
+    mdir = os.path.join(out, "models")
+    t2.load_generator(os.path.join(mdir, "GAN_GEN_2_1.npz"))
+    t2.load_discriminator(os.path.join(mdir, "GAN_DIS_2_1.npz"))
+    t2.load_gen_shadow(os.path.join(mdir, "GAN_GEN_SHADOW_2_1.npz"))
+    t2.load_gen_optim(os.path.join(mdir, "GAN_GEN_OPTIM_2_1.npz"))
+    t2.load_dis_optim(os.path.join(mdir, "GAN_DIS_OPTIM_2_1.npz"))
+
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.g_params),
+                    jax.tree_util.tree_leaves(t2.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.g_opt_state),
+                    jax.tree_util.tree_leaves(t2.state.g_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed trainer can keep training
+    d, g = t2.train_on_batch(
+        np.random.RandomState(0).randn(8, RES, RES, 3).astype(np.float32),
+        depth=2, alpha=1.0)
+    assert np.isfinite(d) and np.isfinite(g)
+
+
+def test_partial_load_shallow_into_deep(tmp_path):
+    """A shallow checkpoint loads into a deeper net; missing depth params
+    keep their init (reference --start_depth resume, train.py:24-29)."""
+    g_args = {"latent_size": 64, "mapping_layers": 2,
+              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
+              "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+    shallow = StyleGAN(structure="linear", resolution=8, num_channels=3,
+                       latent_size=64, g_args=g_args, d_args=d_args,
+                       g_opt_args=opt_args, d_opt_args=opt_args, seed=1)
+    p = str(tmp_path / "gen.npz")
+    ckpt.save_params(p, shallow.state.g_params)
+
+    deep = StyleGAN(structure="linear", resolution=32, num_channels=3,
+                    latent_size=64, g_args=g_args, d_args=d_args,
+                    g_opt_args=opt_args, d_opt_args=opt_args, seed=2)
+    before = np.asarray(deep.state.g_params["g_synthesis"]["blocks"][2]
+                        ["conv1"]["weight"]).copy()
+    deep.load_generator(p)
+    # shared init_block weights were overwritten
+    np.testing.assert_array_equal(
+        np.asarray(deep.state.g_params["g_synthesis"]["init_block"]["conv"]
+                   ["weight"]),
+        np.asarray(shallow.state.g_params["g_synthesis"]["init_block"]["conv"]
+                   ["weight"]))
+    # deeper block keeps its own init
+    np.testing.assert_array_equal(
+        np.asarray(deep.state.g_params["g_synthesis"]["blocks"][2]["conv1"]
+                   ["weight"]), before)
+
+
+def test_conditional_training_smoke(tmp_path):
+    trainer = make_trainer(str(tmp_path), loss="conditional-loss",
+                           conditional=True, n_classes=4)
+    imgs = np.random.RandomState(1).randn(8, RES, RES, 3).astype(np.float32)
+    labels = np.random.RandomState(2).randint(0, 4, size=8)
+    d, g = trainer.train_on_batch(imgs, depth=1, alpha=0.5, labels=labels)
+    assert np.isfinite(d) and np.isfinite(g)

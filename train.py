@@ -1,0 +1,129 @@
+"""Training entry point.
+
+CLI contract mirrors the reference train.py (same flags, same yaml configs):
+  python train.py --config configs/sample.yaml [--start_depth N]
+      [--generator_file G.npz] [--gen_shadow_file S.npz]
+      [--discriminator_file D.npz] [--gen_optim_file GO.npz]
+      [--dis_optim_file DO.npz]
+
+Differences by design: checkpoints are .npz param trees (io/checkpoint.py),
+and multi-device TPU data parallelism is automatic (all visible devices form
+a 1-D mesh; batch sizes are global).
+"""
+
+import argparse
+import os
+import shutil
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(
+        description="StyleGAN TPU-native implementation.")
+    parser.add_argument("--config", default="./configs/sample.yaml")
+    parser.add_argument("--start_depth", action="store", type=int, default=0,
+                        help="Starting depth for training the network")
+    parser.add_argument("--generator_file", action="store", type=str,
+                        default=None, help="pretrained Generator file")
+    parser.add_argument("--gen_shadow_file", action="store", type=str,
+                        default=None, help="pretrained gen_shadow file")
+    parser.add_argument("--discriminator_file", action="store", type=str,
+                        default=None, help="pretrained Discriminator file")
+    parser.add_argument("--gen_optim_file", action="store", type=str,
+                        default=None, help="saved state of generator optimizer")
+    parser.add_argument("--dis_optim_file", action="store", type=str,
+                        default=None,
+                        help="saved state of discriminator optimizer")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="limit the data-parallel mesh size")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+
+    from stylegan_tpu.config import get_default_cfg
+    opt = get_default_cfg()
+    opt.merge_from_file(args.config)
+    opt.freeze()
+
+    output_dir = opt.output_dir
+    if os.path.exists(output_dir):
+        raise KeyError("Existing path: ", output_dir)
+    os.makedirs(output_dir)
+
+    # snapshot sources + config for reproducibility
+    from stylegan_tpu.utils import make_logger, snapshot_sources
+    snapshot_sources(REPO_ROOT, os.path.join(output_dir, "src"))
+    shutil.copy2(args.config, output_dir)
+    logger = make_logger("project", opt.output_dir, "log")
+
+    import jax
+    from stylegan_tpu.parallel import create_mesh
+    n_dev = args.num_devices or jax.device_count()
+    mesh = create_mesh(n_dev) if n_dev > 1 else None
+    logger.info("Using %d %s device(s).", n_dev, jax.default_backend())
+
+    from stylegan_tpu.data import make_dataset
+    dataset = make_dataset(opt.dataset, conditional=opt.conditional)
+
+    from stylegan_tpu.train import StyleGAN
+    style_gan = StyleGAN(structure=opt.structure,
+                         conditional=opt.conditional,
+                         n_classes=opt.n_classes,
+                         resolution=opt.dataset.resolution,
+                         num_channels=opt.dataset.channels,
+                         latent_size=opt.model.gen.latent_size,
+                         g_args=opt.model.gen,
+                         d_args=opt.model.dis,
+                         g_opt_args=opt.model.g_optim,
+                         d_opt_args=opt.model.d_optim,
+                         loss=opt.loss,
+                         drift=opt.drift,
+                         d_repeats=opt.d_repeats,
+                         use_ema=opt.use_ema,
+                         ema_decay=opt.ema_decay,
+                         mesh=mesh,
+                         seed=opt.seed)
+
+    # resume from checkpoints (partial, depth-filtered loads — reference
+    # train.py:24-29 semantics)
+    if args.generator_file is not None:
+        logger.info("Loading generator from: %s", args.generator_file)
+        style_gan.load_generator(args.generator_file)
+    else:
+        logger.info("Training from scratch...")
+    if args.discriminator_file is not None:
+        logger.info("Loading discriminator from: %s", args.discriminator_file)
+        style_gan.load_discriminator(args.discriminator_file)
+    if args.gen_shadow_file is not None and opt.use_ema:
+        logger.info("Loading shadow generator from: %s", args.gen_shadow_file)
+        style_gan.load_gen_shadow(args.gen_shadow_file)
+    if args.gen_optim_file is not None:
+        logger.info("Loading generator optimizer from: %s",
+                    args.gen_optim_file)
+        style_gan.load_gen_optim(args.gen_optim_file)
+    if args.dis_optim_file is not None:
+        logger.info("Loading discriminator optimizer from: %s",
+                    args.dis_optim_file)
+        style_gan.load_dis_optim(args.dis_optim_file)
+
+    style_gan.train(dataset=dataset,
+                    num_workers=opt.num_works,
+                    epochs=opt.sched.epochs,
+                    batch_sizes=opt.sched.batch_sizes,
+                    fade_in_percentage=opt.sched.fade_in_percentage,
+                    logger=logger,
+                    output=output_dir,
+                    num_samples=opt.num_samples,
+                    start_depth=args.start_depth,
+                    feedback_factor=opt.feedback_factor,
+                    checkpoint_factor=opt.checkpoint_factor)
+
+
+if __name__ == "__main__":
+    main()

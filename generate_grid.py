@@ -1,0 +1,67 @@
+"""Generate one n_row x n_col sample grid (reference generate_grid.py mirror)."""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./configs/sample.yaml")
+    parser.add_argument("--generator_file", action="store", type=str,
+                        required=True)
+    parser.add_argument("--n_row", action="store", type=int, default=10)
+    parser.add_argument("--n_col", action="store", type=int, default=4)
+    parser.add_argument("--output_dir", action="store", type=str,
+                        default="output/")
+    parser.add_argument("--seed", type=int, default=None)
+    return parser.parse_args()
+
+
+def main(args):
+    from stylegan_tpu.config import get_default_cfg
+    opt = get_default_cfg()
+    opt.merge_from_file(args.config)
+    opt.freeze()
+
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.io import adjust_dynamic_range, save_image_grid
+    from stylegan_tpu.io.checkpoint import load_params_into
+    from stylegan_tpu.models import (generator_apply, generator_init,
+                                     generator_config_from_cfg)
+
+    print("Creating generator object ...")
+    gen_cfg = generator_config_from_cfg(opt)
+    params = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    print("Loading the generator weights from:", args.generator_file)
+    params, _ = load_params_into(params, args.generator_file)
+
+    latent_size = opt.model.gen.latent_size
+    out_depth = int(np.log2(opt.dataset.resolution)) - 2
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else
+                             int.from_bytes(os.urandom(4), "little"))
+    key, kz, ks = jax.random.split(key, 3)
+
+    print("Generating scale synchronized images ...")
+    n = args.n_row * args.n_col
+    point = jax.random.normal(kz, (n, latent_size))
+    point = (point / jnp.linalg.norm(point)) * (latent_size ** 0.5)
+    out = generator_apply(gen_cfg, params, point, depth=out_depth, alpha=1.0,
+                          rng=ks, train=True)
+    imgs = adjust_dynamic_range(np.asarray(out.images))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    save_image_grid(imgs, os.path.join(args.output_dir, "grid.png"),
+                    nrow=args.n_row)
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main(parse_arguments())

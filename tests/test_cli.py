@@ -1,0 +1,146 @@
+"""CLI contract tests: train.py end-to-end on a toy dataset, then the
+generate CLIs consuming its checkpoints — all as real subprocesses."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    # the TPU-tunnel sitecustomize (on PYTHONPATH) force-registers the remote
+    # TPU backend in every subprocess; drop it so CLI tests run on CPU
+    env.pop("PYTHONPATH", None)
+    return env
+
+
+def _run(args, cwd=REPO):
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=_env(),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{' '.join(args)}\n{r.stdout}\n{r.stderr}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def toy_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    data_dir = tmp / "data"
+    os.makedirs(data_dir)
+    rs = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 255, (16, 16, 3), dtype=np.uint8)) \
+            .save(data_dir / f"{i}.png")
+    out_dir = tmp / "out"
+    cfg = tmp / "toy.yaml"
+    cfg.write_text(f"""
+output_dir: '{out_dir}'
+structure: 'linear'
+feedback_factor: 1
+checkpoint_factor: 1
+num_works: 2
+num_samples: 4
+model:
+  gen:
+    mapping_layers: 2
+dataset:
+  img_dir: '{data_dir}'
+  folder: False
+  resolution: 16
+sched:
+  epochs: [1, 1, 1]
+  batch_sizes: [4, 4, 4]
+  fade_in_percentage: [50, 50, 50]
+""")
+    _run(["train.py", "--config", str(cfg), "--num_devices", "1"])
+    return {"cfg": str(cfg), "out": str(out_dir)}
+
+
+def test_train_cli_outputs(toy_run):
+    out = toy_run["out"]
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    assert os.path.exists(os.path.join(out, "src"))
+    models = os.listdir(os.path.join(out, "models"))
+    assert "GAN_GEN_2_1.npz" in models
+    assert "GAN_GEN_SHADOW_2_1.npz" in models
+    samples = os.listdir(os.path.join(out, "samples"))
+    assert samples, "no feedback grids written"
+
+
+def test_train_cli_refuses_existing_output(toy_run):
+    r = subprocess.run([sys.executable, "train.py", "--config",
+                        toy_run["cfg"]], cwd=REPO, env=_env(),
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    assert "Existing path" in (r.stderr + r.stdout)
+
+
+def test_generate_samples_cli(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
+    outd = str(tmp_path / "gen_samples")
+    _run(["generate_samples.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--num_samples", "2",
+          "--output_dir", outd, "--seed", "1"])
+    assert sorted(os.listdir(outd)) == ["1.png", "2.png"]
+    img = Image.open(os.path.join(outd, "1.png"))
+    assert img.size == (16, 16)
+
+
+def test_generate_samples_from_w_code(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_2_1.npz")
+    w = np.random.RandomState(2).randn(6, 512).astype(np.float32)
+    wfile = str(tmp_path / "w.npy")
+    np.save(wfile, w)
+    out = str(tmp_path / "from_w.png")
+    _run(["generate_samples.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--input", wfile, "--output", out])
+    assert os.path.exists(out)
+
+
+def test_generate_grid_cli(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_2_1.npz")
+    outd = str(tmp_path / "grid")
+    _run(["generate_grid.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--n_row", "2", "--n_col", "2",
+          "--output_dir", outd, "--seed", "3"])
+    assert os.path.exists(os.path.join(outd, "grid.png"))
+
+
+def test_generate_truncation_figure_cli(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_2_1.npz")
+    out = str(tmp_path / "trunc.png")
+    _run(["generate_truncation_figure.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--output", out, "--out_depth", "2"])
+    img = Image.open(out)
+    assert img.size == (16 * 6, 16 * 2)  # 6 psis x 2 seeds
+
+
+def test_mixing_figure_function(toy_run):
+    """Mixing figure via the library function (CLI defaults assume a 256
+    model; the canvas logic is identical)."""
+    import jax
+    from stylegan_tpu.config import get_default_cfg
+    from stylegan_tpu.io.checkpoint import load_params_into
+    from stylegan_tpu.models import generator_config_from_cfg, generator_init
+    sys.path.insert(0, REPO)
+    from generate_mixing_figure import draw_style_mixing_figure
+
+    opt = get_default_cfg()
+    opt.merge_from_file(toy_run["cfg"])
+    gen_cfg = generator_config_from_cfg(opt)
+    params = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    params, _ = load_params_into(
+        params, os.path.join(toy_run["out"], "models", "GAN_GEN_2_1.npz"))
+    png = os.path.join(toy_run["out"], "mix.png")
+    draw_style_mixing_figure(png, gen_cfg, params, out_depth=2,
+                             src_seeds=[1, 2], dst_seeds=[3],
+                             style_ranges=[range(0, 2)])
+    img = Image.open(png)
+    assert img.size == (16 * 3, 16 * 2)

@@ -1,0 +1,100 @@
+"""Benchmark: 1024x1024 StyleGAN synthesis throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Headline metric (BASELINE.md): images/sec/chip for full FFHQ-1024 generation
+(mapping + synthesis, eval semantics, bf16 activations / f32 params, NHWC).
+The reference publishes no numbers (SURVEY.md §6); the driver-defined target
+is >=3x an A100 running the reference PyTorch implementation.  vs_baseline is
+therefore reported against 3 x A100_EST, where A100_EST is our estimate of
+the torch reference's A100 1024^2 synthesis throughput (~25 img/s — StyleGAN1
+synthesis is ~72 GFLOP/img and the reference runs unfused f32 eager torch).
+vs_baseline >= 1.0 means the 3x-A100 target is met.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+A100_EST_IMGS_PER_SEC = 25.0
+TARGET_MULTIPLier = 3.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
+                                     SynthesisConfig, generator_apply,
+                                     generator_init)
+    from stylegan_tpu.ops.precision import set_precision
+
+    set_precision("default")
+    res = 1024
+    cfg = GeneratorConfig(
+        resolution=res, truncation_psi=0.7,
+        mapping=MappingConfig(mapping_layers=8,
+                              dlatent_broadcast=(res.bit_length() - 2) * 2),
+        synthesis=SynthesisConfig(resolution=res, blur_filter=(1, 2, 1),
+                                  structure="linear"))
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    depth = cfg.synthesis.depth - 1
+
+    ITERS = 8
+
+    def make_scan(batch):
+        # ITERS fresh-latent forwards chained inside ONE jit, one host fetch
+        # of a scalar that depends on every image: immune to the async /
+        # memoizing dispatch behavior of tunneled backends.
+        @jax.jit
+        def scan_fwd(params, key):
+            def body(c, i):
+                z = jax.random.normal(jax.random.fold_in(key, 2 * i),
+                                      (batch, cfg.latent_size), jnp.bfloat16)
+                out = generator_apply(cfg, params, z, depth=depth, alpha=1.0,
+                                      rng=jax.random.fold_in(key, 2 * i + 1),
+                                      train=False)
+                return c + out.images.mean(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+            return acc
+        return scan_fwd
+
+    def run(batch):
+        f = make_scan(batch)
+        float(f(params, jax.random.PRNGKey(1)))  # compile + warm
+        best_dt = float("inf")
+        for trial in range(3):
+            t0 = time.perf_counter()
+            float(f(params, jax.random.PRNGKey(10 + trial)))
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        return batch * ITERS / best_dt
+
+    best_bs, best = 0, 0.0
+    for batch in (8, 16):
+        try:
+            ips = run(batch)
+        except Exception:
+            break
+        if ips > best:
+            best_bs, best = batch, ips
+
+    result = {
+        "metric": "1024x1024 synthesis throughput (1 chip)",
+        "value": round(best, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / (TARGET_MULTIPLier * A100_EST_IMGS_PER_SEC), 3),
+        "batch_size": best_bs,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "baseline_note": ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
+                          "reference publishes no numbers (BASELINE.md)"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

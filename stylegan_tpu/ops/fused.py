@@ -9,6 +9,13 @@ materializations and computes the instance-norm statistics in the same pass.
 
 This module is the dispatch point: `fused_epilogue` uses the Pallas kernel on
 TPU when enabled, otherwise the reference-exact lax composition.
+
+Default: OFF.  Measured on the v5e used for bring-up, XLA's own fusion of the
+chain runs at ~170 GB/s effective (12 ms for batch-8 1024^2 x 32ch bf16) while
+the two-pass Pallas kernel pays an extra noise-broadcast pass (35 ms) — the
+lane-broadcast DMA of (tile, 1) noise blocks is pathological in Mosaic
+(~900 ms).  Enable with set_fused_epilogue(True) or STYLEGAN_TPU_PALLAS=1 to
+re-evaluate on other TPU generations.
 """
 
 from __future__ import annotations
@@ -33,10 +40,12 @@ def use_fused_epilogue() -> bool:
         return _USE_FUSED
     if os.environ.get("STYLEGAN_TPU_DISABLE_PALLAS"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
+    if os.environ.get("STYLEGAN_TPU_PALLAS"):
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+    return False
 
 
 def _reference_epilogue(x, noise_weight, noise, style):
@@ -54,8 +63,9 @@ def fused_epilogue(x: jax.Array, noise_weight: jax.Array, noise: jax.Array,
     """
     if use_fused_epilogue():
         try:
-            from .pallas.epilogue import pallas_epilogue
-            return pallas_epilogue(x, noise_weight, noise, style)
+            from .pallas.epilogue import epilogue_supported, pallas_epilogue
+            if epilogue_supported(x, noise):
+                return pallas_epilogue(x, noise_weight, noise, style)
         except ImportError:
             pass
     return _reference_epilogue(x, noise_weight, noise, style)

@@ -156,13 +156,15 @@ def _fused_upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     """Transposed conv, stride 2, with the 4-tap-summed 4x4 kernel.
 
     Equivalent to the reference's F.conv_transpose2d on the padded+shift-summed
-    kernel (CustomLayers.py:146-151), expressed as an input-dilated conv which
-    XLA lowers efficiently on the MXU.  w is HWIO (3, 3, I, O).
+    kernel (CustomLayers.py:146-151), expressed as an input-dilated conv
+    (conv_transpose(stride=2, pad=1) == lhs-dilated conv with the spatially
+    flipped kernel and padding kh-1-p = 2 per side).  A subpixel (4-phase 2x2
+    conv + interleave) decomposition was also benchmarked and is ~2x slower on
+    TPU than this form — the phase stack/reshape costs extra HBM passes.
+    w is HWIO (3, 3, I, O).
     """
     wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
     w4 = (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1])  # (4,4,I,O)
-    # conv_transpose(stride=2, padding=1) == lhs-dilated conv with the
-    # spatially flipped kernel and padding (kh - 1 - p) = 2 per side.
     w4 = w4[::-1, ::-1]
     return lax.conv_general_dilated(
         x, w4.astype(x.dtype), (1, 1), [(2, 2), (2, 2)],

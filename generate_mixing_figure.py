@@ -81,14 +81,14 @@ def main(args):
     opt.freeze()
 
     import jax
-    from stylegan_tpu.io.checkpoint import load_params_into
+    from stylegan_tpu.convert import load_generator_file
     from stylegan_tpu.models import generator_config_from_cfg, generator_init
 
     print("Creating generator object ...")
     gen_cfg = generator_config_from_cfg(opt)
     params = generator_init(jax.random.PRNGKey(0), gen_cfg)
     print("Loading the generator weights from:", args.generator_file)
-    params, _ = load_params_into(params, args.generator_file)
+    params = load_generator_file(params, args.generator_file)
 
     draw_style_mixing_figure(
         args.output, gen_cfg, params, out_depth=args.out_depth,

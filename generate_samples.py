@@ -24,7 +24,7 @@ def parse_arguments():
     parser.add_argument("--config", default="./configs/sample.yaml")
     parser.add_argument("--generator_file", action="store", type=str,
                         required=True,
-                        help="pretrained weights file for generator (.npz)")
+                        help="pretrained generator weights (.npz, or a reference .pth)")
     parser.add_argument("--num_samples", action="store", type=int, default=300)
     parser.add_argument("--output_dir", action="store", type=str,
                         default="output/")
@@ -47,7 +47,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
     from stylegan_tpu.io import adjust_dynamic_range, save_single_image
-    from stylegan_tpu.io.checkpoint import load_params_into
+    from stylegan_tpu.convert import load_generator_file
     from stylegan_tpu.models import (generator_apply, generator_init,
                                      generator_config_from_cfg,
                                      synthesis_apply)
@@ -56,7 +56,7 @@ def main(args):
     gen_cfg = generator_config_from_cfg(opt)
     params = generator_init(jax.random.PRNGKey(0), gen_cfg)
     print("Loading the generator weights from:", args.generator_file)
-    params, _ = load_params_into(params, args.generator_file)
+    params = load_generator_file(params, args.generator_file)
 
     latent_size = opt.model.gen.latent_size
     out_depth = int(np.log2(opt.dataset.resolution)) - 2

@@ -259,17 +259,20 @@ class StyleGAN:
             logger.info("Saved checkpoints to %s (tag %s)\n", save_dir, tag)
 
     def load_generator(self, path):
-        tree, _ = ckpt.load_params_into(self.state.g_params, path)
-        self.state = self.state._replace(g_params=tree)
+        from ..convert import load_generator_file
+        self.state = self.state._replace(
+            g_params=load_generator_file(self.state.g_params, path))
 
     def load_gen_shadow(self, path):
+        from ..convert import load_generator_file
         if self.state.g_shadow is not None:
-            tree, _ = ckpt.load_params_into(self.state.g_shadow, path)
-            self.state = self.state._replace(g_shadow=tree)
+            self.state = self.state._replace(
+                g_shadow=load_generator_file(self.state.g_shadow, path))
 
     def load_discriminator(self, path):
-        tree, _ = ckpt.load_params_into(self.state.d_params, path)
-        self.state = self.state._replace(d_params=tree)
+        from ..convert import load_discriminator_file
+        self.state = self.state._replace(
+            d_params=load_discriminator_file(self.state.d_params, path))
 
     def load_gen_optim(self, path):
         tree, _ = ckpt.load_params_into(self.state.g_opt_state, path)

@@ -170,6 +170,11 @@ class StyleGAN:
         assert self.depth <= len(fade_in_percentage), \
             "fade_in_percentage not compatible with depth"
 
+        from ..utils.profiling import MetricsWriter, StepTimer
+        metrics_writer = MetricsWriter(os.path.join(output, "metrics.jsonl"))
+        timer = StepTimer()
+        abort_file = os.path.join(output, "abort.txt")
+
         global_time = time.time()
         fixed_input = jax.random.normal(jax.random.PRNGKey(42),
                                         (num_samples, self.latent_size))
@@ -204,15 +209,23 @@ class StyleGAN:
                         images, labels = batch, None
                     dis_loss, gen_loss = self.train_on_batch(
                         images, current_depth, alpha, labels)
+                    step_time = timer.tick()
 
                     if i % int(total_batches / feedback_factor + 1) == 0 \
                             or i == 1:
                         elapsed = str(datetime.timedelta(
                             seconds=time.time() - global_time)).split(".")[0]
+                        ips = timer.images_per_sec(len(images))
                         logger.info(
                             "Elapsed: [%s] Step: %d  Batch: %d  "
-                            "D_Loss: %f  G_Loss: %f",
-                            elapsed, step_count, i, dis_loss, gen_loss)
+                            "D_Loss: %f  G_Loss: %f  imgs/s: %s",
+                            elapsed, step_count, i, dis_loss, gen_loss,
+                            f"{ips:.1f}" if ips else "n/a")
+                        metrics_writer.write(
+                            step=step_count, depth=current_depth, epoch=epoch,
+                            batch=i, alpha=float(alpha), d_loss=dis_loss,
+                            g_loss=gen_loss,
+                            step_time=step_time, imgs_per_sec=ips)
                         os.makedirs(os.path.join(output, "samples"),
                                     exist_ok=True)
                         grid_file = os.path.join(
@@ -235,6 +248,16 @@ class StyleGAN:
                 if epoch % checkpoint_factor == 0 or epoch == 1 \
                         or epoch == epochs[current_depth]:
                     self.save_checkpoints(output, current_depth, epoch, logger)
+
+                # graceful stop: functional version of the reference's
+                # abort.txt polling (dnnlib/submission/run_context.py:60-75)
+                if os.path.exists(abort_file):
+                    logger.info("abort.txt found — checkpointing and "
+                                "stopping.\n")
+                    self.save_checkpoints(output, current_depth, epoch, logger)
+                    metrics_writer.close()
+                    return
+        metrics_writer.close()
         logger.info("Training completed.\n")
 
     # ------------------------------------------------------------------

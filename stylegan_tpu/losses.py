@@ -135,6 +135,57 @@ def logistic_gen_loss(dis_fn, reals, fakes, axis_name=None):
 
 
 # ---------------------------------------------------------------------------
+# wgan / wgan-gp
+#
+# The reference's StyleGAN wrapper *advertises* wgan/wgan-gp and stores a
+# `drift` coefficient for them (GAN.py:464-470, 517) but never implements
+# them; implemented here per the ProGAN formulation the reference descends
+# from (akanimax/pro_gan_pytorch): D maximizes r - f with a drift penalty
+# eps * mean(r^2); GP = lambda * mean((||dD/dx_hat|| - 1)^2) on random
+# interpolates, computed with jax.grad nested inside the param grad.
+# ---------------------------------------------------------------------------
+
+def wgan_dis_loss(dis_fn, reals, fakes, axis_name=None, drift=0.001):
+    f = dis_fn(fakes)
+    r = dis_fn(reals)
+    return (_mean(f, axis_name) - _mean(r, axis_name)
+            + drift * _mean(jnp.square(r), axis_name))
+
+
+def wgan_gen_loss(dis_fn, reals, fakes, axis_name=None):
+    return -_mean(dis_fn(fakes), axis_name)
+
+
+def gradient_penalty(dis_fn, reals, fakes, key, axis_name=None):
+    """lambda-free GP core: mean((||dD/dx_hat||_2 - 1)^2) over random
+    per-sample interpolates."""
+    b = reals.shape[0]
+    eps_shape = (b,) + (1,) * (reals.ndim - 1)
+    eps = jax.random.uniform(key, eps_shape, reals.dtype)
+    merged = eps * reals + (1.0 - eps) * fakes
+    merged = jax.lax.stop_gradient(merged)
+
+    def score_sum(x):
+        return jnp.sum(dis_fn(x))
+
+    grads = jax.grad(score_sum)(merged)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1) + 1e-12)
+    return _mean(jnp.square(norms - 1.0), axis_name)
+
+
+def wgan_gp_dis_loss(dis_fn, reals, fakes, axis_name=None, key=None,
+                     drift=0.001, gp_lambda=10.0):
+    assert key is not None, "wgan-gp needs a PRNG key for the interpolates"
+    loss = wgan_dis_loss(dis_fn, reals, fakes, axis_name, drift)
+    return loss + gp_lambda * gradient_penalty(dis_fn, reals, fakes, key,
+                                               axis_name)
+
+
+def wgan_gp_gen_loss(dis_fn, reals, fakes, axis_name=None):
+    return -_mean(dis_fn(fakes), axis_name)
+
+
+# ---------------------------------------------------------------------------
 # conditional (BCE with labels routed to D)
 # ---------------------------------------------------------------------------
 
@@ -158,8 +209,13 @@ LOSSES = {
     "relativistic-hinge": (relativistic_hinge_dis_loss,
                            relativistic_hinge_gen_loss),
     "logistic": (logistic_dis_loss, logistic_gen_loss),
+    "wgan": (wgan_dis_loss, wgan_gen_loss),
+    "wgan-gp": (wgan_gp_dis_loss, wgan_gp_gen_loss),
     "conditional-loss": (conditional_dis_loss, conditional_gen_loss),
 }
+
+# losses whose dis_loss needs a PRNG key (GP interpolates)
+NEEDS_KEY = {"wgan-gp"}
 
 
 def get_loss(name: str, conditional: bool = False):
@@ -168,5 +224,6 @@ def get_loss(name: str, conditional: bool = False):
         assert name in ("conditional-loss",), f"Unknown conditional loss {name}"
     else:
         assert name in ("logistic", "hinge", "standard-gan",
-                        "relativistic-hinge"), f"Unknown loss {name}"
+                        "relativistic-hinge", "wgan", "wgan-gp"), \
+            f"Unknown loss {name}"
     return LOSSES[name]

@@ -27,7 +27,7 @@ import optax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from ..losses import get_loss
+from ..losses import NEEDS_KEY, get_loss
 from ..models import (discriminator_apply, ema_update, generator_apply)
 from ..ops import avg_pool2d, upscale2d
 from .state import TrainState
@@ -64,7 +64,7 @@ def _with_avg(g_params, avg):
 def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                      loss: str = "relativistic-hinge", d_repeats: int = 1,
                      use_ema: bool = True, ema_decay: float = 0.999,
-                     conditional: bool = False,
+                     conditional: bool = False, drift: float = 0.001,
                      mesh: Optional[Mesh] = None,
                      donate: bool = True):
     """Returns step(state, reals, z, key, alpha[, labels]) -> (state, metrics).
@@ -81,6 +81,15 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         return discriminator_apply(dis_cfg, d_params, images, depth=depth,
                                    alpha=alpha, labels=labels)
 
+    def run_dis_loss(dis_fn, reals_cur, fakes, key):
+        if loss in NEEDS_KEY:  # wgan-gp: PRNG key for the GP interpolates
+            return dis_loss_fn(dis_fn, reals_cur, fakes, axis_name,
+                               key=jax.random.fold_in(key, 0x6B), drift=drift)
+        if loss == "wgan":
+            return dis_loss_fn(dis_fn, reals_cur, fakes, axis_name,
+                               drift=drift)
+        return dis_loss_fn(dis_fn, reals_cur, fakes, axis_name)
+
     def gen_forward(g_params, z, key, alpha, labels):
         return generator_apply(gen_cfg, g_params, z, depth=depth, alpha=alpha,
                                rng=key, train=True, labels=labels)
@@ -90,7 +99,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         out = gen_forward(g_params, z, key, alpha, labels)
         fakes = jax.lax.stop_gradient(out.images)
         dis_fn = lambda imgs: dis_forward(d_params, imgs, alpha, labels)
-        loss_val = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name)
+        loss_val = run_dis_loss(dis_fn, reals_cur, fakes, key)
         return loss_val, out.avg_latent
 
     # ---------------- generator update ------------------------------------
@@ -181,7 +190,12 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
         fakes = jax.lax.stop_gradient(out.images)
         dis_fn = lambda imgs: discriminator_apply(
             dis_cfg, d_params, imgs, depth=depth, alpha=alpha, labels=labels)
-        return dis_loss_fn(dis_fn, reals_cur, fakes, axis_name), out.avg_latent
+        if loss in NEEDS_KEY:
+            lv = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name,
+                             key=jax.random.fold_in(key, 0x6B))
+        else:
+            lv = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name)
+        return lv, out.avg_latent
 
     grad_fn = jax.value_and_grad(d_loss, has_aux=True)
 

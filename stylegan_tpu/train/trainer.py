@@ -84,7 +84,9 @@ class StyleGAN:
         self.ema_decay = ema_decay
         self.mesh = mesh
         self.loss_name = loss if isinstance(loss, str) else "relativistic-hinge"
-        self.drift = drift  # stored, unused — mirrors reference GAN.py:517
+        # drift penalty coefficient; used by wgan/wgan-gp (the reference
+        # stores it but never implements those losses — GAN.py:464-470, 517)
+        self.drift = drift
 
         g_args = dict(g_args)
         d_args = dict(d_args)
@@ -118,7 +120,8 @@ class StyleGAN:
                 self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx, depth=depth,
                 loss=self.loss_name, d_repeats=self.d_repeats,
                 use_ema=self.use_ema, ema_decay=self.ema_decay,
-                conditional=self.conditional, mesh=self.mesh)
+                conditional=self.conditional, drift=self.drift,
+                mesh=self.mesh)
         return self._steps[depth]
 
     def _get_sample_fn(self, depth: int):

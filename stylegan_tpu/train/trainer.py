@@ -130,6 +130,61 @@ class StyleGAN:
         return self._sample_fns[depth]
 
     # ------------------------------------------------------------------
+    # Reference-parity single-network update API (GAN.py:591-659): usable for
+    # custom loops, though the fused train_on_batch is the fast path (one
+    # compiled program, donated state).
+    def optimize_discriminator(self, noise, real_batch, depth, alpha,
+                               labels=None):
+        from .steps import build_d_step
+        key = ("d", depth)
+        if key not in self._steps:
+            self._steps[key] = build_d_step(
+                self.gen_cfg, self.dis_cfg, self.d_tx, depth=depth,
+                loss=self.loss_name, d_repeats=self.d_repeats,
+                conditional=self.conditional, mesh=self.mesh)
+        args = (self.state.d_params, self.state.d_opt_state,
+                self.state.g_params, jnp.asarray(real_batch),
+                jnp.asarray(noise), self._next_key(), jnp.float32(alpha))
+        if self.conditional:
+            args = args + (jnp.asarray(labels),)
+        d_params, d_opt_state, avg, loss = self._steps[key](*args)
+        g_params = self.state.g_params
+        if avg is not None and "truncation" in g_params:
+            g_params = dict(g_params)
+            g_params["truncation"] = {"avg_latent": avg}
+        self.state = self.state._replace(d_params=d_params,
+                                         d_opt_state=d_opt_state,
+                                         g_params=g_params)
+        return float(loss)
+
+    def optimize_generator(self, noise, real_batch, depth, alpha, labels=None):
+        from .steps import build_g_step
+        key = ("g", depth)
+        if key not in self._steps:
+            self._steps[key] = build_g_step(
+                self.gen_cfg, self.dis_cfg, self.g_tx, depth=depth,
+                loss=self.loss_name, use_ema=self.use_ema,
+                ema_decay=self.ema_decay, conditional=self.conditional,
+                mesh=self.mesh)
+        args = (self.state.g_params, self.state.g_opt_state,
+                self.state.g_shadow, self.state.d_params,
+                jnp.asarray(real_batch), jnp.asarray(noise),
+                self._next_key(), jnp.float32(alpha))
+        if self.conditional:
+            args = args + (jnp.asarray(labels),)
+        g_params, g_opt_state, g_shadow, loss = self._steps[key](*args)
+        self.state = self.state._replace(g_params=g_params,
+                                         g_opt_state=g_opt_state,
+                                         g_shadow=g_shadow)
+        return float(loss)
+
+    @staticmethod
+    def create_grid(samples, scale_factor, img_file):
+        """Save a sample grid (reference GAN.py:661-680)."""
+        save_image_grid(adjust01(samples), img_file,
+                        scale_factor=int(scale_factor))
+
+    # ------------------------------------------------------------------
     def train_on_batch(self, images, depth, alpha, labels=None):
         """One fused D+G update on a batch of full-res reals."""
         step = self._get_step(depth)

@@ -216,7 +216,10 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
         x = synthesis_block_apply(cfg, params["blocks"][i], x,
                                   dlatents[:, 2 * (i + 1):2 * (i + 2)],
                                   i, rng, noises)
-    residual = _to_rgb(cfg, params, depth - 1, upscale2d(x))
+    # reference computes to_rgb(upscale(x)) (GAN.py:199); a 1x1 conv commutes
+    # bit-exactly with nearest upsampling, and conv-first avoids materializing
+    # the C-channel map at 2x resolution (4x fewer conv FLOPs + ~C/3 less HBM)
+    residual = upscale2d(_to_rgb(cfg, params, depth - 1, x))
     x = synthesis_block_apply(cfg, params["blocks"][depth - 1], x,
                               dlatents[:, 2 * depth:2 * (depth + 1)],
                               depth - 1, rng, noises)

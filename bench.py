@@ -82,18 +82,77 @@ def main():
         if ips > best:
             best_bs, best = batch, ips
 
+    train_ips = _train_throughput_128()
+
     result = {
         "metric": "1024x1024 synthesis throughput (1 chip)",
         "value": round(best, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / (TARGET_MULTIPLier * A100_EST_IMGS_PER_SEC), 3),
         "batch_size": best_bs,
+        "train_128_imgs_per_sec": round(train_ips, 3) if train_ips else None,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "baseline_note": ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
                           "reference publishes no numbers (BASELINE.md)"),
     }
     print(json.dumps(result))
+
+
+def _train_throughput_128(batch=16, iters=4):
+    """Secondary metric (BASELINE.md): full fused train step (D+G+EMA,
+    relativistic-hinge) at 128x128, reference per-depth batch size 16."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.models import (DiscriminatorConfig, GeneratorConfig,
+                                     MappingConfig, SynthesisConfig,
+                                     discriminator_init, generator_init)
+    from stylegan_tpu.train import (build_train_step, create_train_state,
+                                    make_d_optimizer, make_g_optimizer)
+    try:
+        res = 128
+        gen_cfg = GeneratorConfig(
+            resolution=res,
+            mapping=MappingConfig(mapping_layers=8,
+                                  dlatent_broadcast=(res.bit_length() - 2) * 2),
+            synthesis=SynthesisConfig(resolution=res, blur_filter=(1, 2, 1),
+                                      structure="linear"))
+        dis_cfg = DiscriminatorConfig(resolution=res, blur_filter=(1, 2, 1),
+                                      structure="linear")
+        g_tx, d_tx = make_g_optimizer(), make_d_optimizer()
+        state = create_train_state(
+            generator_init(jax.random.PRNGKey(0), gen_cfg),
+            discriminator_init(jax.random.PRNGKey(1), dis_cfg),
+            g_tx, d_tx, use_ema=True)
+        depth = dis_cfg.depth - 1
+        step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                                donate=False)
+
+        @jax.jit
+        def scan_steps(state, key):
+            def body(c, i):
+                st, acc = c
+                reals = jax.random.normal(jax.random.fold_in(key, 3 * i),
+                                          (batch, res, res, 3))
+                z = jax.random.normal(jax.random.fold_in(key, 3 * i + 1),
+                                      (batch, gen_cfg.latent_size))
+                st, metrics = step(st, reals, z,
+                                   jax.random.fold_in(key, 3 * i + 2),
+                                   jnp.float32(1.0))
+                return (st, acc + metrics["d_loss"]), None
+            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)),
+                                        jnp.arange(iters))
+            return acc
+
+        float(scan_steps(state, jax.random.PRNGKey(2)))
+        best = float("inf")
+        for trial in range(2):
+            t0 = time.perf_counter()
+            float(scan_steps(state, jax.random.PRNGKey(10 + trial)))
+            best = min(best, time.perf_counter() - t0)
+        return batch * iters / best
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

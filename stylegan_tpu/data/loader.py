@@ -118,3 +118,24 @@ def get_data_loader(dataset, batch_size: int, num_workers: int, **kw) -> DataLoa
     """Factory mirroring reference data/__init__.py:32-52."""
     return DataLoader(dataset, batch_size, num_workers=num_workers,
                       shuffle=True, drop_last=True, **kw)
+
+
+def device_prefetch(iterator, size: int = 2):
+    """Wrap a batch iterator so host->device transfers run `size` batches
+    ahead of consumption (device_put is async; the TPU computes on batch N
+    while batch N+1 streams into HBM)."""
+    import collections
+    import jax
+
+    def put(batch):
+        if isinstance(batch, tuple):
+            return tuple(jax.device_put(b) for b in batch)
+        return jax.device_put(batch)
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

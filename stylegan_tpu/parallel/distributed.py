@@ -1,0 +1,40 @@
+"""Multi-host (multi-process) initialization.
+
+Single-slice multi-chip needs nothing beyond the mesh (all devices are local).
+For multi-host pods / multi-slice DCN deployments, call
+``initialize_distributed()`` once at process start; afterwards
+``create_mesh()`` sees the global device set and the data loader should be
+sharded per host:
+
+    initialize_distributed()                     # reads TPU env / args
+    mesh = create_mesh()                         # global 1-D 'data' mesh
+    loader = DataLoader(..., shard_index=host_index(), num_shards=host_count())
+
+Collectives then ride ICI within a slice and DCN across slices — XLA picks
+the transport from the mesh's device order; no NCCL-style backend exists or
+is needed (the reference's NCCL references live only in dead vendored code,
+SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with TPU-env autodetection by default."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_index() -> int:
+    return jax.process_index()
+
+
+def host_count() -> int:
+    return jax.process_count()

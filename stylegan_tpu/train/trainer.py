@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import get_data_loader
+from ..data.loader import device_prefetch
 from ..io import checkpoint as ckpt
 from ..io.image import save_image_grid
 from ..models import (discriminator_init, generator_init)
@@ -259,7 +260,7 @@ class StyleGAN:
                 fade_point = int((fade_in_percentage[current_depth] / 100)
                                  * epochs[current_depth] * total_batches)
 
-                for i, batch in enumerate(data, 1):
+                for i, batch in enumerate(device_prefetch(iter(data)), 1):
                     alpha = ticker / fade_point if ticker <= fade_point else 1
                     if self.conditional:
                         images, labels = batch
@@ -362,6 +363,16 @@ class StyleGAN:
     def load_dis_optim(self, path):
         tree, _ = ckpt.load_params_into(self.state.d_opt_state, path)
         self.state = self.state._replace(d_opt_state=tree)
+
+    # full-train-state checkpointing (one artifact instead of 5 files)
+    def save_full_state(self, path, depth, epoch):
+        ckpt.save_train_state(path, self.state,
+                              {"depth": depth, "epoch": epoch})
+
+    def restore_full_state(self, path):
+        """Restore a save_full_state checkpoint; returns its metadata."""
+        self.state, meta = ckpt.load_train_state(path, self.state)
+        return meta
 
 
 def adjust01(samples):

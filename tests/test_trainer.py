@@ -123,6 +123,54 @@ def test_partial_load_shallow_into_deep(tmp_path):
                    ["weight"]), before)
 
 
+def test_fixed_structure_training(tmp_path):
+    """structure='fixed' trains only the final depth (GAN.py:727-728)."""
+    out = str(tmp_path / "run_fixed")
+    os.makedirs(out)
+    trainer = make_trainer(out, structure="fixed")
+    dataset = SyntheticDataset(n=16, resolution=RES)
+    logger = logging.getLogger("test")
+    trainer.train(dataset=dataset, num_workers=1, epochs=[1, 1, 1],
+                  batch_sizes=[8, 8, 8], fade_in_percentage=[50, 50, 50],
+                  logger=logger, output=out, num_samples=4, start_depth=0,
+                  feedback_factor=1, checkpoint_factor=1)
+    samples = os.listdir(os.path.join(out, "samples"))
+    # only the last depth ran
+    assert all(s.startswith("gen_2_") for s in samples) and samples
+
+
+def test_full_state_resume(tmp_path):
+    trainer = make_trainer(str(tmp_path))
+    imgs = np.random.RandomState(7).randn(8, RES, RES, 3).astype(np.float32)
+    trainer.train_on_batch(imgs, depth=2, alpha=1.0)
+    path = str(tmp_path / "full_state")
+    trainer.save_full_state(path, depth=2, epoch=3)
+
+    t2 = make_trainer(str(tmp_path))
+    meta = t2.restore_full_state(path)
+    assert meta == {"depth": 2, "epoch": 3}
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state),
+                    jax.tree_util.tree_leaves(t2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_abort_file_stops_training(tmp_path):
+    out = str(tmp_path / "run_abort")
+    os.makedirs(out)
+    with open(os.path.join(out, "abort.txt"), "w") as f:
+        f.write("stop")
+    trainer = make_trainer(out)
+    dataset = SyntheticDataset(n=16, resolution=RES)
+    logger = logging.getLogger("test")
+    trainer.train(dataset=dataset, num_workers=1, epochs=[5, 5, 5],
+                  batch_sizes=[8, 8, 8], fade_in_percentage=[50, 50, 50],
+                  logger=logger, output=out, num_samples=4, start_depth=0,
+                  feedback_factor=1, checkpoint_factor=1)
+    samples = os.listdir(os.path.join(out, "samples"))
+    # aborted after the first epoch of the first depth
+    assert all(s.startswith("gen_0_1_") for s in samples)
+
+
 def test_conditional_training_smoke(tmp_path):
     trainer = make_trainer(str(tmp_path), loss="conditional-loss",
                            conditional=True, n_classes=4)

@@ -40,6 +40,10 @@ def parse_arguments():
                         help="saved state of discriminator optimizer")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="limit the data-parallel mesh size")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="full train-state checkpoint (from "
+                             "save_full_state) to restore G, D, EMA and both "
+                             "optimizers in one shot")
     return parser.parse_args()
 
 
@@ -90,6 +94,15 @@ def main():
                          mesh=mesh,
                          seed=opt.seed)
 
+    start_depth = args.start_depth
+    if args.resume is not None:
+        logger.info("Restoring full train state from: %s", args.resume)
+        meta = style_gan.restore_full_state(args.resume)
+        if args.start_depth == 0 and meta.get("depth") is not None:
+            start_depth = int(meta["depth"])
+            logger.info("Resuming at depth %d (from checkpoint metadata)",
+                        start_depth)
+
     # resume from checkpoints (partial, depth-filtered loads — reference
     # train.py:24-29 semantics)
     if args.generator_file is not None:
@@ -120,7 +133,7 @@ def main():
                     logger=logger,
                     output=output_dir,
                     num_samples=opt.num_samples,
-                    start_depth=args.start_depth,
+                    start_depth=start_depth,
                     feedback_factor=opt.feedback_factor,
                     checkpoint_factor=opt.checkpoint_factor)
 

@@ -39,6 +39,19 @@ def _decode(path: str) -> "np.ndarray":
     return img
 
 
+def _native_decode(path: str, resolution: int, flip: bool):
+    """Decode via the C++ core (GIL-free, PIL-equivalent); None on failure."""
+    try:
+        from . import native
+        if not native.available():
+            return None
+        with open(path, "rb") as f:
+            data = f.read()
+        return native.decode_resize(data, resolution, flip)
+    except (ValueError, OSError):
+        return None
+
+
 def _transform(img, resolution: int, flip: bool) -> np.ndarray:
     """flip -> bilinear resize -> [-1, 1] float32 HWC."""
     from PIL import Image
@@ -72,7 +85,12 @@ class ImageDatasetBase:
     def get(self, idx: int, rng: Optional[np.random.RandomState] = None):
         flip = bool(rng.randint(2)) if (self.random_flip and rng is not None) \
             else False
-        img = _transform(_decode(self.files[idx]), self.resolution, flip)
+        path = self.files[idx]
+        img = None
+        if path.lower().endswith((".jpg", ".jpeg", ".png")):
+            img = _native_decode(path, self.resolution, flip)
+        if img is None:
+            img = _transform(_decode(path), self.resolution, flip)
         if self.labels is not None:
             return img, self.labels[idx]
         return img

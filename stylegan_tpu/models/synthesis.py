@@ -74,7 +74,9 @@ def _make_noise(rng, layer_idx: int, batch: int, res: int, dtype) -> jax.Array:
     return jax.random.normal(key, (batch, res, res, 1), dtype)
 
 
-def _layer_noise(noises, rng, layer_idx, batch, res, dtype):
+def _layer_noise(cfg, noises, rng, layer_idx, batch, res, dtype):
+    if not cfg.use_noise:
+        return None
     if noises is not None:
         return noises[layer_idx]
     assert rng is not None, "synthesis needs an rng key when use_noise=True"
@@ -118,10 +120,10 @@ def input_block_apply(cfg: SynthesisConfig, params: dict,
         # reference reshapes NCHW (B, nf, 4, 4); transpose to NHWC so the
         # dense weight layout matches converted torch checkpoints
         x = x.reshape(batch, nf, 4, 4).transpose(0, 2, 3, 1)
-    n0 = _layer_noise(noises, rng, 0, batch, 4, dtype)
+    n0 = _layer_noise(cfg, noises, rng, 0, batch, 4, dtype)
     x = epilogue_apply(cfg, params["epi1"], x, dlatents[:, 0], n0)
     x = conv2d_apply(params["conv"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
-    n1 = _layer_noise(noises, rng, 1, batch, 4, dtype)
+    n1 = _layer_noise(cfg, noises, rng, 1, batch, 4, dtype)
     x = epilogue_apply(cfg, params["epi2"], x, dlatents[:, 1], n1)
     return x
 
@@ -152,10 +154,10 @@ def synthesis_block_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
 
     x = conv2d_apply(params["conv0_up"], x, gain=_GAIN,
                      use_wscale=cfg.use_wscale, upscale=True, blur_kernel=blur)
-    n0 = _layer_noise(noises, rng, layer0, batch, res, dtype)
+    n0 = _layer_noise(cfg, noises, rng, layer0, batch, res, dtype)
     x = epilogue_apply(cfg, params["epi1"], x, dlatents[:, 0], n0)
     x = conv2d_apply(params["conv1"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
-    n1 = _layer_noise(noises, rng, layer0 + 1, batch, res, dtype)
+    n1 = _layer_noise(cfg, noises, rng, layer0 + 1, batch, res, dtype)
     x = epilogue_apply(cfg, params["epi2"], x, dlatents[:, 1], n1)
     return x
 

@@ -72,7 +72,13 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     reals: (B, R, R, C) at the *final* config resolution (device-side
     progressive downsampling, like the reference); z: (B, latent).
     """
-    dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
+    # `loss` is a registry name, or a (dis_loss_fn, gen_loss_fn) pair — the
+    # counterpart of the reference accepting a GANLoss instance (GAN.py:464)
+    if isinstance(loss, tuple):
+        dis_loss_fn, gen_loss_fn = loss
+        loss = "custom"
+    else:
+        dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
     total_depth = dis_cfg.depth
     structure = dis_cfg.structure
     axis_name = AXIS if mesh is not None else None
@@ -180,7 +186,10 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
     GAN.py:591-622) for users running their own loop.  Signature:
     step(d_params, d_opt_state, g_params, reals, z, key, alpha[, labels])
     -> (d_params, d_opt_state, g_avg_latent, loss)."""
-    dis_loss_fn, _ = get_loss(loss, conditional)
+    if isinstance(loss, tuple):
+        dis_loss_fn, loss = loss[0], "custom"
+    else:
+        dis_loss_fn, _ = get_loss(loss, conditional)
     total_depth = dis_cfg.depth
     axis_name = AXIS if mesh is not None else None
 
@@ -236,7 +245,10 @@ def build_g_step(gen_cfg, dis_cfg, g_tx, *, depth: int,
     GAN.py:624-659).  Signature:
     step(g_params, g_opt_state, g_shadow, d_params, reals, z, key, alpha
          [, labels]) -> (g_params, g_opt_state, g_shadow, loss)."""
-    _, gen_loss_fn = get_loss(loss, conditional)
+    if isinstance(loss, tuple):
+        gen_loss_fn = loss[1]
+    else:
+        _, gen_loss_fn = get_loss(loss, conditional)
     total_depth = dis_cfg.depth
     axis_name = AXIS if mesh is not None else None
 

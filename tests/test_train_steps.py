@@ -176,3 +176,32 @@ def test_mesh_step_grad_sync_exact():
                     jax.tree_util.tree_leaves(sN.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_custom_loss_pair():
+    """The reference accepts a GANLoss instance (GAN.py:464); our equivalent
+    is a (dis_loss_fn, gen_loss_fn) pair."""
+    import optax
+    gen_cfg, dis_cfg = make_cfgs()
+    g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
+    from stylegan_tpu.models import generator_init as gi, discriminator_init as di
+    state = create_train_state(gi(jax.random.PRNGKey(40), gen_cfg),
+                               di(jax.random.PRNGKey(41), dis_cfg),
+                               g_tx, d_tx, use_ema=False)
+
+    def my_dis_loss(dis_fn, reals, fakes, axis_name=None):
+        return jnp.mean(jnp.square(dis_fn(reals) - 1)) + \
+            jnp.mean(jnp.square(dis_fn(fakes)))
+
+    def my_gen_loss(dis_fn, reals, fakes, axis_name=None):
+        return jnp.mean(jnp.square(dis_fn(fakes) - 1))
+
+    step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                            loss=(my_dis_loss, my_gen_loss), use_ema=False,
+                            donate=False)
+    reals = jax.random.normal(jax.random.PRNGKey(42), (8, RES, RES, 3))
+    z = jax.random.normal(jax.random.PRNGKey(43), (8, 32))
+    _, metrics = step(state, reals, z, jax.random.PRNGKey(44),
+                      jnp.float32(1.0))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -1,0 +1,84 @@
+"""Evaluate a trained generator against the training set with Sliced
+Wasserstein Distance (ProGAN metric; no pretrained features needed).
+
+  python eval_metrics.py --config configs/sample_ffhq_128.yaml \
+      --generator_file out/models/GAN_GEN_SHADOW_5_32.npz --num_samples 256
+
+The reference ships no metric tooling (SURVEY.md §5); this fills that gap for
+quantitative tracking alongside the qualitative sample grids.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./configs/sample.yaml")
+    parser.add_argument("--generator_file", type=str, required=True)
+    parser.add_argument("--num_samples", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    from stylegan_tpu.config import get_default_cfg
+    opt = get_default_cfg()
+    opt.merge_from_file(args.config)
+    opt.freeze()
+
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.convert import load_generator_file
+    from stylegan_tpu.data import make_dataset
+    from stylegan_tpu.metrics import sliced_wasserstein_distance
+    from stylegan_tpu.models import (generator_apply, generator_init,
+                                     generator_config_from_cfg)
+
+    gen_cfg = generator_config_from_cfg(opt)
+    params = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    params = load_generator_file(params, args.generator_file)
+    out_depth = gen_cfg.synthesis.depth - 1
+
+    # real samples
+    dataset = make_dataset(opt.dataset, conditional=opt.conditional)
+    rs = np.random.RandomState(args.seed)
+    idx = rs.choice(len(dataset), size=args.num_samples, replace=False)
+    reals = np.stack([np.asarray(dataset.get(int(i), rs))[0]
+                      if opt.conditional else dataset.get(int(i), rs)
+                      for i in idx])
+
+    # generated samples
+    key = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def sample(z, k):
+        return generator_apply(gen_cfg, params, z, depth=out_depth, alpha=1.0,
+                               rng=k, train=True).images
+
+    fakes = []
+    for i in range(0, args.num_samples, args.batch):
+        n = min(args.batch, args.num_samples - i)
+        key, kz, ks = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (n, gen_cfg.latent_size))
+        fakes.append(np.asarray(sample(z, ks)))
+    fakes = np.concatenate(fakes)[:args.num_samples]
+
+    swd = sliced_wasserstein_distance(jnp.asarray(reals), jnp.asarray(fakes),
+                                      key=jax.random.PRNGKey(args.seed + 1))
+    print(json.dumps({f"swd_x1e3_{k}": round(v * 1e3, 3)
+                      for k, v in swd.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,7 @@ class StyleGAN:
                  g_args, d_args, g_opt_args, d_opt_args, conditional=False,
                  n_classes=0, loss="relativistic-hinge", drift=0.001,
                  d_repeats=1, use_ema=False, ema_decay=0.999,
-                 mesh=None, seed=0):
+                 mesh=None, seed=0, activations_dtype="float32"):
         assert structure in ["fixed", "linear"]
         if conditional:
             assert n_classes > 0, "Conditional GANs require n_classes > 0"
@@ -84,6 +84,10 @@ class StyleGAN:
         self.use_ema = use_ema
         self.ema_decay = ema_decay
         self.mesh = mesh
+        # bf16 activations / f32 params+optimizer: params stay f32 and are
+        # cast at apply time (ops cast weights to the activation dtype);
+        # reals and latents enter the step in this dtype.
+        self.activations_dtype = jnp.dtype(activations_dtype)
         self.loss_name = loss if isinstance(loss, str) else "relativistic-hinge"
         # drift penalty coefficient; used by wgan/wgan-gp (the reference
         # stores it but never implements those losses — GAN.py:464-470, 517)
@@ -190,9 +194,11 @@ class StyleGAN:
         """One fused D+G update on a batch of full-res reals."""
         step = self._get_step(depth)
         key = self._next_key()
+        dt = self.activations_dtype
         z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),
-                              (images.shape[0], self.latent_size))
-        args = (self.state, jnp.asarray(images), z, key, jnp.float32(alpha))
+                              (images.shape[0], self.latent_size), dt)
+        args = (self.state, jnp.asarray(images, dt), z, key,
+                jnp.float32(alpha))
         if self.conditional:
             args = args + (jnp.asarray(labels),)
         self.state, metrics = step(*args)

@@ -178,3 +178,23 @@ def test_conditional_training_smoke(tmp_path):
     labels = np.random.RandomState(2).randint(0, 4, size=8)
     d, g = trainer.train_on_batch(imgs, depth=1, alpha=0.5, labels=labels)
     assert np.isfinite(d) and np.isfinite(g)
+
+
+def test_bf16_activation_training(tmp_path):
+    """bf16 activations / f32 params: the perf path trains stably."""
+    g_args = {"latent_size": 64, "mapping_layers": 2,
+              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
+              "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+    trainer = StyleGAN(structure="linear", resolution=RES, num_channels=3,
+                       latent_size=64, g_args=g_args, d_args=d_args,
+                       g_opt_args=opt_args, d_opt_args=opt_args,
+                       use_ema=True, seed=0, activations_dtype="bfloat16")
+    imgs = np.random.RandomState(0).randn(8, RES, RES, 3).astype(np.float32)
+    d, g = trainer.train_on_batch(imgs, depth=2, alpha=1.0)
+    assert np.isfinite(d) and np.isfinite(g)
+    # params remain f32
+    leaf = jax.tree_util.tree_leaves(trainer.state.g_params)[0]
+    assert np.asarray(leaf).dtype == np.float32

@@ -72,6 +72,17 @@ def main():
     mesh = create_mesh(n_dev) if n_dev > 1 else None
     logger.info("Using %d %s device(s).", n_dev, jax.default_backend())
 
+    # precision / kernel knobs (stylegan_tpu/config.py TPU-native additions)
+    from stylegan_tpu.ops import fused as fused_ops
+    from stylegan_tpu.ops.precision import set_precision
+    if opt.precision.activations == "bfloat16":
+        set_precision("default")  # bf16 MXU passes for the perf path
+        logger.info("bf16 activations / default MXU precision")
+    if opt.ops.use_pallas is not True and opt.ops.use_pallas != "auto":
+        fused_ops.set_fused_epilogue(False)
+    elif opt.ops.use_pallas is True:
+        fused_ops.set_fused_epilogue(True)
+
     from stylegan_tpu.data import make_dataset
     dataset = make_dataset(opt.dataset, conditional=opt.conditional)
 
@@ -92,7 +103,8 @@ def main():
                          use_ema=opt.use_ema,
                          ema_decay=opt.ema_decay,
                          mesh=mesh,
-                         seed=opt.seed)
+                         seed=opt.seed,
+                         activations_dtype=opt.precision.activations)
 
     start_depth = args.start_depth
     if args.resume is not None:

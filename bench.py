@@ -22,7 +22,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 A100_EST_IMGS_PER_SEC = 25.0
-TARGET_MULTIPLier = 3.0
+TARGET_MULTIPLIER = 3.0
 
 
 def main():
@@ -88,7 +88,7 @@ def main():
         "metric": "1024x1024 synthesis throughput (1 chip)",
         "value": round(best, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / (TARGET_MULTIPLier * A100_EST_IMGS_PER_SEC), 3),
+        "vs_baseline": round(best / (TARGET_MULTIPLIER * A100_EST_IMGS_PER_SEC), 3),
         "batch_size": best_bs,
         "train_128_imgs_per_sec": round(train_ips, 3) if train_ips else None,
         "backend": jax.default_backend(),

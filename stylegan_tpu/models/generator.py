@@ -55,6 +55,21 @@ def embed_labels(params: dict, labels: jax.Array) -> jax.Array:
     return jnp.take(params["class_embedding"]["weight"], labels, axis=0)
 
 
+def mix_styles(k_cutoff, k_prob, dlatents, dlatents2, depth: int,
+               mixing_prob: float) -> jax.Array:
+    """Style-mixing splice (reference GAN.py:284-289): with probability
+    `mixing_prob`, draw a cutoff uniformly from [1, 2*(depth+1)] (python
+    random.randint is inclusive on both ends) and take dlatents2 for layers
+    >= cutoff; otherwise cutoff = 2*(depth+1), i.e. no layer in use mixes."""
+    num_layers = dlatents.shape[1]
+    cur_layers = 2 * (depth + 1)
+    cutoff = jax.random.randint(k_cutoff, (), 1, cur_layers + 1)
+    do_mix = jax.random.uniform(k_prob, ()) < mixing_prob
+    mixing_cutoff = jnp.where(do_mix, cutoff, cur_layers)
+    layer_idx = jnp.arange(num_layers)[None, :, None]
+    return jnp.where(layer_idx < mixing_cutoff, dlatents, dlatents2)
+
+
 def generator_apply(cfg: GeneratorConfig, params: dict, latents: jax.Array,
                     depth: int, alpha, rng=None, train: bool = False,
                     labels: Optional[jax.Array] = None,
@@ -91,13 +106,9 @@ def generator_apply(cfg: GeneratorConfig, params: dict, latents: jax.Array,
         if cfg.style_mixing_prob is not None and cfg.style_mixing_prob > 0:
             latents2 = jax.random.normal(k_mix_z, latents.shape, latents.dtype)
             dlatents2 = mapping_apply(cfg.mapping, params["g_mapping"], latents2)
-            cur_layers = 2 * (depth + 1)
-            # python random.randint(1, cur_layers) is inclusive on both ends
-            cutoff = jax.random.randint(k_cut, (), 1, cur_layers + 1)
-            do_mix = jax.random.uniform(k_mix_p, ()) < cfg.style_mixing_prob
-            mixing_cutoff = jnp.where(do_mix, cutoff, cur_layers)
-            layer_idx = jnp.arange(cfg.num_layers)[None, :, None]
-            dlatents = jnp.where(layer_idx < mixing_cutoff, dlatents, dlatents2)
+            dlatents = mix_styles(jax.random.fold_in(k_cut, 0), k_mix_p,
+                                  dlatents, dlatents2, depth,
+                                  cfg.style_mixing_prob)
 
         # Truncation trick, applied in the training branch (GAN.py:291-293)
         if cfg.use_truncation:

@@ -44,7 +44,7 @@ def main():
     params = generator_init(jax.random.PRNGKey(0), cfg)
     depth = cfg.synthesis.depth - 1
 
-    ITERS = 8
+    ITERS = 16  # amortizes the tunnel's ~27ms host-fetch latency to <2ms/iter
 
     def make_scan(batch):
         # ITERS fresh-latent forwards chained inside ONE jit, one host fetch

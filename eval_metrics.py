@@ -54,7 +54,7 @@ def main():
     dataset = make_dataset(opt.dataset, conditional=opt.conditional)
     rs = np.random.RandomState(args.seed)
     idx = rs.choice(len(dataset), size=args.num_samples, replace=False)
-    reals = np.stack([np.asarray(dataset.get(int(i), rs))[0]
+    reals = np.stack([dataset.get(int(i), rs)[0]
                       if opt.conditional else dataset.get(int(i), rs)
                       for i in idx])
 

@@ -21,6 +21,13 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+class _ProducerError:
+    """Exception carrier from the producer thread to the consuming iterator."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
@@ -83,22 +90,35 @@ class DataLoader:
                 return x, np.asarray(labels, dtype=np.int32)
             return x
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps observing the stop flag (a blocking
+            q.put would deadlock the producer forever if the consumer
+            abandons the iterator mid-epoch)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            futures = []
-            for bi, b in enumerate(batches):
-                if stop.is_set():
-                    break
-                futures.append(pool.submit(load_batch, bi, b))
-                # keep a bounded window of in-flight decode jobs
-                while len(futures) > self.num_workers + self.prefetch:
-                    q.put(futures.pop(0).result())
+            try:
+                futures = []
+                for bi, b in enumerate(batches):
                     if stop.is_set():
                         return
-            for f in futures:
-                if stop.is_set():
-                    break
-                q.put(f.result())
-            q.put(None)
+                    futures.append(pool.submit(load_batch, bi, b))
+                    # keep a bounded window of in-flight decode jobs
+                    while len(futures) > self.num_workers + self.prefetch:
+                        if not put_or_stop(futures.pop(0).result()):
+                            return
+                for f in futures:
+                    if not put_or_stop(f.result()):
+                        return
+                put_or_stop(None)
+            except Exception as e:  # surface decode errors to the consumer
+                put_or_stop(_ProducerError(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -107,6 +127,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()

@@ -45,18 +45,14 @@ def _relu(x):
 
 
 def _score_pair(dis_fn, reals, fakes):
-    """Scores for reals and fakes in ONE batched D forward when exact.
+    """Scores for reals and fakes (two separate D forwards).
 
-    Concatenating along batch halves the number of D convolutions launched
-    and doubles their batch (better MXU utilization).  Exactness condition:
-    minibatch-stddev groups (min(4, B), primitives.py) must not straddle the
-    real/fake boundary — true iff per-half batch % 4 == 0.  Otherwise falls
-    back to two forwards (identical semantics either way).
+    A fused concat-along-batch forward was tried and REVERTED: minibatch-
+    stddev groups are *strided* across the batch (reshape(g, b//g, ...) —
+    group j holds batch indices {j, j + b//g, ...}), so a concatenated
+    real/fake batch always mixes reals and fakes inside every stddev group,
+    changing D's scores relative to the reference no matter the batch size.
     """
-    b = reals.shape[0]
-    if reals.shape == fakes.shape and b % 4 == 0:
-        scores = dis_fn(jnp.concatenate([reals, fakes], axis=0))
-        return scores[:b], scores[b:]
     return dis_fn(reals), dis_fn(fakes)
 
 

@@ -146,46 +146,67 @@ class DiscriminatorConfig:
         return self.num_channels * 2 if self.conditional else self.num_channels
 
 
-def generator_config_from_cfg(cfg) -> GeneratorConfig:
-    """Build a GeneratorConfig from a yacs-style cfg (reference train.py:84-99
-    passes cfg.model.gen into Generator(**g_args))."""
-    g = cfg.model.gen
-    blur = tuple(g.blur_filter) if g.blur_filter else None
-    conditional = bool(cfg.conditional)
-    latent = int(g.latent_size)
+def generator_config_from_args(structure, resolution, num_channels,
+                               latent_size, conditional, n_classes,
+                               g_args) -> GeneratorConfig:
+    """GeneratorConfig from a g_args mapping — the counterpart of the
+    reference passing cfg.model.gen as Generator(**g_args) kwargs
+    (train.py:84-99).  Recognized keys mirror Generator's kwargs."""
+    g = dict(g_args)
+    blur = g.get("blur_filter", [1, 2, 1])
+    blur = tuple(blur) if blur else None
+    latent = int(g.get("latent_size", latent_size))
     eff_latent = latent * 2 if conditional else latent
-    num_layers = (int(math.log2(cfg.dataset.resolution)) - 1) * 2
+    num_layers = (int(math.log2(resolution)) - 1) * 2
     return GeneratorConfig(
-        resolution=int(cfg.dataset.resolution),
+        resolution=int(resolution),
         latent_size=latent,
-        dlatent_size=512,
-        conditional=conditional,
-        n_classes=int(cfg.n_classes),
-        truncation_psi=float(g.truncation_psi),
-        truncation_cutoff=int(g.truncation_cutoff),
+        conditional=bool(conditional),
+        n_classes=int(n_classes),
+        truncation_psi=float(g.get("truncation_psi", 0.7)),
+        truncation_cutoff=int(g.get("truncation_cutoff", 8)),
+        dlatent_avg_beta=float(g.get("dlatent_avg_beta", 0.995)),
+        style_mixing_prob=g.get("style_mixing_prob", 0.9),
         mapping=MappingConfig(
             latent_size=eff_latent,
             dlatent_broadcast=num_layers,
-            mapping_layers=int(g.mapping_layers),
+            mapping_layers=int(g.get("mapping_layers", 8)),
         ),
         synthesis=SynthesisConfig(
-            resolution=int(cfg.dataset.resolution),
-            num_channels=int(cfg.dataset.channels),
+            resolution=int(resolution),
+            num_channels=int(num_channels),
             blur_filter=blur,
-            structure=str(cfg.structure),
+            structure=str(structure),
         ),
     )
+
+
+def discriminator_config_from_args(structure, resolution, num_channels,
+                                   conditional, n_classes,
+                                   d_args) -> DiscriminatorConfig:
+    d = dict(d_args)
+    blur = d.get("blur_filter", [1, 2, 1])
+    blur = tuple(blur) if blur else None
+    return DiscriminatorConfig(
+        resolution=int(resolution),
+        num_channels=int(num_channels),
+        conditional=bool(conditional),
+        n_classes=int(n_classes),
+        use_wscale=bool(d.get("use_wscale", True)),
+        blur_filter=blur,
+        structure=str(structure),
+    )
+
+
+def generator_config_from_cfg(cfg) -> GeneratorConfig:
+    """Build a GeneratorConfig from a full yacs-style cfg."""
+    return generator_config_from_args(
+        cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
+        cfg.model.gen.latent_size, cfg.conditional, cfg.n_classes,
+        cfg.model.gen)
 
 
 def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
-    d = cfg.model.dis
-    blur = tuple(d.blur_filter) if d.blur_filter else None
-    return DiscriminatorConfig(
-        resolution=int(cfg.dataset.resolution),
-        num_channels=int(cfg.dataset.channels),
-        conditional=bool(cfg.conditional),
-        n_classes=int(cfg.n_classes),
-        use_wscale=bool(d.use_wscale),
-        blur_filter=blur,
-        structure=str(cfg.structure),
-    )
+    return discriminator_config_from_args(
+        cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
+        cfg.conditional, cfg.n_classes, cfg.model.dis)

@@ -42,8 +42,9 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
     act = leaky_relu if cfg.nonlinearity == "lrelu" else jax.nn.relu
     x = conv2d_apply(params["conv0"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
     x = act(x)
-    if cfg.blur_filter:
-        x = blur2d(x, make_blur_kernel(cfg.blur_filter))
+    # unlike the generator, the reference D *always* blurs: BlurLayer(None)
+    # falls back to [1,2,1] (Blocks.py:143 + CustomLayers.py:254-255)
+    x = blur2d(x, make_blur_kernel(cfg.blur_filter or (1, 2, 1)))
     x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                      use_wscale=cfg.use_wscale, downscale=True)
     return act(x)

@@ -52,6 +52,17 @@ def progressive_downsample(reals: jax.Array, total_depth: int, depth: int,
     return ds
 
 
+def _sync_avg(avg, axis_name):
+    """Make the truncation W-average identical on every shard.
+
+    Each shard computes it from its *local* dlatents[0, 0]; the reference
+    single-device semantics use the global batch's element 0, which lives on
+    shard 0 — broadcast that one so params never diverge across devices."""
+    if avg is None:
+        return None
+    return jax.lax.all_gather(avg, axis_name)[0]
+
+
 def _with_avg(g_params, avg):
     """Functionally swap the truncation moving-average leaf."""
     if avg is None or "truncation" not in g_params:
@@ -66,7 +77,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                      use_ema: bool = True, ema_decay: float = 0.999,
                      conditional: bool = False, drift: float = 0.001,
                      mesh: Optional[Mesh] = None,
-                     donate: bool = True):
+                     donate: bool = True, shard_rng: bool = True):
     """Returns step(state, reals, z, key, alpha[, labels]) -> (state, metrics).
 
     reals: (B, R, R, C) at the *final* config resolution (device-side
@@ -119,6 +130,12 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     g_grad = jax.value_and_grad(g_loss, has_aux=True)
 
     def step_body(state: TrainState, reals, z, key, alpha, labels):
+        if axis_name is not None:
+            if shard_rng:
+                # independent randomness per shard (noise, style mixing, GP):
+                # a replicated key would duplicate the same draws on every
+                # device, unlike the reference's independent per-sample randn
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
                                            structure)
         g_params, d_params = state.g_params, state.d_params
@@ -132,6 +149,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                 d_params, g_params, z, reals_cur, k_rep, alpha, labels)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
+                new_avg = _sync_avg(new_avg, axis_name)
             updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, updates)
             g_params = _with_avg(g_params, new_avg)
@@ -144,6 +162,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
             g_params, d_params, z, reals_cur, k_g, alpha, labels)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
+            new_avg = _sync_avg(new_avg, axis_name)
         g_updates, g_opt_state = g_tx.update(grads, state.g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, g_updates)
         g_params = _with_avg(g_params, new_avg)
@@ -181,7 +200,8 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
 
 def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
                  loss: str = "relativistic-hinge", d_repeats: int = 1,
-                 conditional: bool = False, mesh: Optional[Mesh] = None):
+                 conditional: bool = False, drift: float = 0.001,
+                 mesh: Optional[Mesh] = None):
     """Standalone discriminator update (reference optimize_discriminator,
     GAN.py:591-622) for users running their own loop.  Signature:
     step(d_params, d_opt_state, g_params, reals, z, key, alpha[, labels])
@@ -201,7 +221,9 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
             dis_cfg, d_params, imgs, depth=depth, alpha=alpha, labels=labels)
         if loss in NEEDS_KEY:
             lv = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name,
-                             key=jax.random.fold_in(key, 0x6B))
+                             key=jax.random.fold_in(key, 0x6B), drift=drift)
+        elif loss == "wgan":
+            lv = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name, drift=drift)
         else:
             lv = dis_loss_fn(dis_fn, reals_cur, fakes, axis_name)
         return lv, out.avg_latent
@@ -209,6 +231,8 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
     grad_fn = jax.value_and_grad(d_loss, has_aux=True)
 
     def body(d_params, d_opt_state, g_params, reals, z, key, alpha, labels):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
                                            dis_cfg.structure)
         loss_total, avg = 0.0, None
@@ -218,6 +242,7 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
                                        labels)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
+                avg = _sync_avg(avg, axis_name)
             updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, updates)
             g_params = _with_avg(g_params, avg)
@@ -263,12 +288,15 @@ def build_g_step(gen_cfg, dis_cfg, g_tx, *, depth: int,
 
     def body(g_params, g_opt_state, g_shadow, d_params, reals, z, key, alpha,
              labels):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         reals_cur = progressive_downsample(reals, total_depth, depth, alpha,
                                            dis_cfg.structure)
         (lv, avg), grads = grad_fn(g_params, d_params, z, reals_cur, key,
                                    alpha, labels)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
+            avg = _sync_avg(avg, axis_name)
         updates, g_opt_state = g_tx.update(grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
         g_params = _with_avg(g_params, avg)

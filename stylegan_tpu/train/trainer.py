@@ -25,40 +25,10 @@ from ..data.loader import device_prefetch
 from ..io import checkpoint as ckpt
 from ..io.image import save_image_grid
 from ..models import (discriminator_init, generator_init)
-from ..models.configs import (DiscriminatorConfig, GeneratorConfig,
-                              MappingConfig, SynthesisConfig)
+from ..models.configs import (discriminator_config_from_args,
+                              generator_config_from_args)
 from .state import (create_train_state, make_d_optimizer, make_g_optimizer)
 from .steps import build_sample_fn, build_train_step
-
-
-def _gen_config_from_args(structure, resolution, num_channels, latent_size,
-                          conditional, n_classes, g_args) -> GeneratorConfig:
-    blur = g_args.get("blur_filter", [1, 2, 1])
-    blur = tuple(blur) if blur else None
-    eff_latent = latent_size * 2 if conditional else latent_size
-    num_layers = (int(np.log2(resolution)) - 1) * 2
-    return GeneratorConfig(
-        resolution=resolution, latent_size=latent_size,
-        conditional=conditional, n_classes=n_classes,
-        truncation_psi=float(g_args.get("truncation_psi", 0.7)),
-        truncation_cutoff=int(g_args.get("truncation_cutoff", 8)),
-        mapping=MappingConfig(latent_size=eff_latent,
-                              dlatent_broadcast=num_layers,
-                              mapping_layers=int(g_args.get("mapping_layers", 8))),
-        synthesis=SynthesisConfig(resolution=resolution,
-                                  num_channels=num_channels, blur_filter=blur,
-                                  structure=structure))
-
-
-def _dis_config_from_args(structure, resolution, num_channels, conditional,
-                          n_classes, d_args) -> DiscriminatorConfig:
-    blur = d_args.get("blur_filter", [1, 2, 1])
-    blur = tuple(blur) if blur else None
-    return DiscriminatorConfig(
-        resolution=resolution, num_channels=num_channels,
-        conditional=conditional, n_classes=n_classes,
-        use_wscale=bool(d_args.get("use_wscale", True)),
-        blur_filter=blur, structure=structure)
 
 
 class StyleGAN:
@@ -93,12 +63,10 @@ class StyleGAN:
         # stores it but never implements those losses — GAN.py:464-470, 517)
         self.drift = drift
 
-        g_args = dict(g_args)
-        d_args = dict(d_args)
-        self.gen_cfg = _gen_config_from_args(
+        self.gen_cfg = generator_config_from_args(
             structure, resolution, num_channels, latent_size, conditional,
             n_classes, g_args)
-        self.dis_cfg = _dis_config_from_args(
+        self.dis_cfg = discriminator_config_from_args(
             structure, resolution, num_channels, conditional, n_classes,
             d_args)
 
@@ -146,7 +114,8 @@ class StyleGAN:
             self._steps[key] = build_d_step(
                 self.gen_cfg, self.dis_cfg, self.d_tx, depth=depth,
                 loss=self.loss_name, d_repeats=self.d_repeats,
-                conditional=self.conditional, mesh=self.mesh)
+                conditional=self.conditional, drift=self.drift,
+                mesh=self.mesh)
         args = (self.state.d_params, self.state.d_opt_state,
                 self.state.g_params, jnp.asarray(real_batch),
                 jnp.asarray(noise), self._next_key(), jnp.float32(alpha))

@@ -154,13 +154,14 @@ def test_mesh_step_grad_sync_exact():
     key = jax.random.PRNGKey(14)
     alpha = jnp.float32(1.0)
 
-    # relativistic-hinge is mean-based (replication-invariant), and inside
-    # shard_map each shard draws the same noise from the replicated key, so
-    # every shard computes the single-device gradients exactly.
+    # relativistic-hinge is mean-based (replication-invariant). shard_rng is
+    # disabled so every shard draws the same noise from the replicated key
+    # and computes the single-device gradients exactly (production default
+    # folds the shard index in for independent randomness).
     step1 = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
                              donate=False)
     stepN = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
-                             mesh=mesh, donate=False)
+                             mesh=mesh, donate=False, shard_rng=False)
     s1, m1 = step1(state, jnp.asarray(reals1), jnp.asarray(z1), key, alpha)
     sN, mN = stepN(state, realsN, zN, key, alpha)
 
@@ -205,3 +206,25 @@ def test_custom_loss_pair():
                       jnp.float32(1.0))
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_mesh_avg_latent_synced_and_rng_sharded():
+    """Production mesh step: truncation W-average identical on every shard
+    (broadcast from shard 0) and per-shard noise independent."""
+    gen_cfg, dis_cfg = make_cfgs()
+    state, g_tx, d_tx = make_state(gen_cfg, dis_cfg, seed=51)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                            mesh=mesh, donate=False)
+    batch = 16
+    reals = jnp.asarray(np.random.RandomState(52)
+                        .randn(batch, RES, RES, 3).astype(np.float32))
+    z = jnp.asarray(np.random.RandomState(53).randn(batch, 32)
+                    .astype(np.float32))
+    new_state, _ = step(state, reals, z, jax.random.PRNGKey(54),
+                        jnp.float32(0.8))
+    avg = new_state.g_params["truncation"]["avg_latent"]
+    # fetch every device's replica and confirm they are identical
+    shards = [np.asarray(s.data) for s in avg.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)

@@ -118,3 +118,27 @@ class TestLoader:
         ds = SyntheticDataset(n=8, resolution=8)
         dl = get_data_loader(ds, 4, 2)
         assert len(dl) == 2
+
+
+class TestLoaderRobustness:
+    def test_abandon_iterator_no_deadlock(self):
+        """Breaking out of iteration mid-epoch must not leave the producer
+        thread blocked forever on a full queue."""
+        import threading
+        ds = SyntheticDataset(n=64, resolution=8)
+        before = threading.active_count()
+        for _ in range(5):
+            it = iter(DataLoader(ds, batch_size=4, num_workers=2, prefetch=1))
+            next(it)
+            it.close()  # abandon mid-epoch
+        import time
+        time.sleep(0.5)  # give producers time to observe stop
+        assert threading.active_count() <= before + 4
+
+    def test_decode_error_surfaces(self, tmp_path):
+        (tmp_path / "broken.png").write_bytes(b"not a png")
+        ds = FlatDirectoryImageDataset(str(tmp_path), resolution=8)
+        dl = DataLoader(ds, batch_size=1, num_workers=1, drop_last=False)
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            list(dl)

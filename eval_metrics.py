@@ -62,16 +62,18 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     @jax.jit
-    def sample(z, k):
+    def sample(z, k, labels=None):
         return generator_apply(gen_cfg, params, z, depth=out_depth, alpha=1.0,
-                               rng=k, train=True).images
+                               rng=k, train=True, labels=labels).images
 
     fakes = []
     for i in range(0, args.num_samples, args.batch):
         n = min(args.batch, args.num_samples - i)
-        key, kz, ks = jax.random.split(key, 3)
+        key, kz, ks, kl = jax.random.split(key, 4)
         z = jax.random.normal(kz, (n, gen_cfg.latent_size))
-        fakes.append(np.asarray(sample(z, ks)))
+        labels = (jax.random.randint(kl, (n,), 0, opt.n_classes)
+                  if opt.conditional else None)
+        fakes.append(np.asarray(sample(z, ks, labels)))
     fakes = np.concatenate(fakes)[:args.num_samples]
 
     swd = sliced_wasserstein_distance(jnp.asarray(reals), jnp.asarray(fakes),

@@ -134,6 +134,10 @@ def _coerce(value, existing, key):
         return value
     if isinstance(existing, float) and isinstance(value, int):
         return float(value)
+    if isinstance(value, bool) and isinstance(existing, str):
+        # tri-state knobs like ops.use_pallas default to 'auto' but accept
+        # true/false in YAML — keep the bool
+        return value
     if isinstance(existing, bool) != isinstance(value, bool) and (
             isinstance(existing, bool) or isinstance(value, bool)):
         raise TypeError(f"Type mismatch for key {key}: "

@@ -77,7 +77,10 @@ class DataLoader:
         def load_batch(bi, batch_idx):
             imgs, labels = [], []
             for j, di in enumerate(batch_idx):
-                rng = np.random.RandomState(epoch_rng_base + bi * 100003 + j)
+                # RandomState seeds must be < 2**32; wrap (large datasets at
+                # small batch sizes push bi*100003 past 2**32 otherwise)
+                rng = np.random.RandomState(
+                    (epoch_rng_base + bi * 100003 + j) % (2 ** 32))
                 item = self.dataset.get(int(di), rng)
                 if self.conditional:
                     img, lab = item
@@ -133,7 +136,9 @@ class DataLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False, cancel_futures=True)
-        self._epoch += 1
+            # advance even when the iterator is abandoned mid-epoch, so the
+            # next epoch gets a fresh permutation and augmentation stream
+            self._epoch += 1
 
 
 def get_data_loader(dataset, batch_size: int, num_workers: int, **kw) -> DataLoader:

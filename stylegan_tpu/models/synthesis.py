@@ -53,7 +53,8 @@ def epilogue_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
                              use_wscale=cfg.use_wscale)
 
     if (fused_ops.use_fused_epilogue() and cfg.use_noise and not
-            cfg.use_pixel_norm and cfg.use_instance_norm and cfg.use_styles):
+            cfg.use_pixel_norm and cfg.use_instance_norm and cfg.use_styles
+            and cfg.nonlinearity == "lrelu"):  # kernel hardcodes lrelu(0.2)
         return fused_ops.fused_epilogue(
             x, params["noise"]["weight"], noise, style)
 

@@ -30,7 +30,11 @@ _USE_FUSED = None  # None = auto (TPU only)
 
 
 def set_fused_epilogue(enabled):
-    """enabled: True | False | None (auto: on for TPU backends)."""
+    """enabled: True | False | None.
+
+    None restores the default policy: OFF unless STYLEGAN_TPU_PALLAS=1 is set
+    and the backend is TPU (see module docstring for the measurements behind
+    the default)."""
     global _USE_FUSED
     _USE_FUSED = enabled
 

@@ -122,12 +122,10 @@ def _pallas_epilogue_fwd_impl(x, noise_weight, noise, style):
 
 
 def _reference_epilogue(x, noise_weight, noise, style):
-    from ..primitives import (add_noise, instance_norm, leaky_relu,
-                              style_modulate)
-    y = add_noise(x, noise_weight, noise)
-    y = leaky_relu(y)
-    y = instance_norm(y)
-    return style_modulate(y, style)
+    # single shared definition — the custom-VJP backward below must
+    # differentiate exactly the math the dispatcher falls back to
+    from ..fused import _reference_epilogue as ref
+    return ref(x, noise_weight, noise, style)
 
 
 @jax.custom_vjp

@@ -58,7 +58,10 @@ class StyleGAN:
         # cast at apply time (ops cast weights to the activation dtype);
         # reals and latents enter the step in this dtype.
         self.activations_dtype = jnp.dtype(activations_dtype)
-        self.loss_name = loss if isinstance(loss, str) else "relativistic-hinge"
+        # a string registry name, or a (dis_loss_fn, gen_loss_fn) pair (the
+        # counterpart of the reference accepting a GANLoss instance)
+        self.loss_name = loss if isinstance(loss, (str, tuple)) \
+            else "relativistic-hinge"
         # drift penalty coefficient; used by wgan/wgan-gp (the reference
         # stores it but never implements those losses — GAN.py:464-470, 517)
         self.drift = drift

@@ -21,6 +21,10 @@ def parse_arguments():
     parser.add_argument("--output_dir", action="store", type=str,
                         default="output/")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="class label for conditional models (the "
+                             "reference CLI cannot sample conditional "
+                             "generators at all)")
     return parser.parse_args()
 
 
@@ -53,8 +57,12 @@ def main(args):
     n = args.n_row * args.n_col
     point = jax.random.normal(kz, (n, latent_size))
     point = (point / jnp.linalg.norm(point)) * (latent_size ** 0.5)
+    labels = None
+    if gen_cfg.conditional:
+        assert args.class_id is not None, "conditional model: pass --class_id"
+        labels = jnp.full((n,), args.class_id, jnp.int32)
     out = generator_apply(gen_cfg, params, point, depth=out_depth, alpha=1.0,
-                          rng=ks, train=True)
+                          rng=ks, train=True, labels=labels)
     imgs = adjust_dynamic_range(np.asarray(out.images))
 
     os.makedirs(args.output_dir, exist_ok=True)

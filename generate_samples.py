@@ -35,6 +35,10 @@ def parse_arguments():
     parser.add_argument("--eval", action="store_true",
                         help="disable train-mode sampling quirks")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="class label for conditional models (the "
+                             "reference CLI cannot sample conditional "
+                             "generators at all)")
     return parser.parse_args()
 
 
@@ -66,10 +70,17 @@ def main(args):
         key = jax.random.PRNGKey(args.seed if args.seed is not None else
                                  int.from_bytes(os.urandom(4), "little"))
 
+        labels = None
+        if gen_cfg.conditional:
+            assert args.class_id is not None, \
+                "conditional model: pass --class_id"
+            labels = jnp.full((1,), args.class_id, jnp.int32)
+
         @jax.jit
         def sample(z, k):
             out = generator_apply(gen_cfg, params, z, depth=out_depth,
-                                  alpha=1.0, rng=k, train=not args.eval)
+                                  alpha=1.0, rng=k, train=not args.eval,
+                                  labels=labels)
             return out.images
 
         print("Generating scale synchronized images ...")

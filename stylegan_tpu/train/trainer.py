@@ -164,6 +164,11 @@ class StyleGAN:
     # ------------------------------------------------------------------
     def train_on_batch(self, images, depth, alpha, labels=None):
         """One fused D+G update on a batch of full-res reals."""
+        if self.mesh is not None and images.shape[0] % self.mesh.size != 0:
+            raise ValueError(
+                f"global batch {images.shape[0]} must divide evenly over the "
+                f"{self.mesh.size}-device mesh (adjust sched.batch_sizes or "
+                "the mesh size)")
         step = self._get_step(depth)
         key = self._next_key()
         dt = self.activations_dtype

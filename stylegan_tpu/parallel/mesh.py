@@ -33,6 +33,18 @@ def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def compatible_mesh_size(n_devices: int, batch_sizes) -> int:
+    """Largest mesh size <= n_devices dividing every global batch size.
+
+    The batch is sharded over the mesh axis, so each per-depth batch must
+    split evenly; progressive schedules end in tiny batches (e.g. [...,4,2]),
+    which would otherwise fail to trace days into a run."""
+    n = max(1, int(n_devices))
+    while n > 1 and any(bs % n != 0 for bs in batch_sizes):
+        n -= 1
+    return n
+
+
 def maybe_create_mesh(parallel_cfg=None) -> Optional[Mesh]:
     """Mesh from config: None for a single device (no shard_map overhead)."""
     n = jax.device_count()

@@ -228,3 +228,13 @@ def test_mesh_avg_latent_synced_and_rng_sharded():
     shards = [np.asarray(s.data) for s in avg.addressable_shards]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_compatible_mesh_size():
+    from stylegan_tpu.parallel.mesh import compatible_mesh_size
+    # reference schedule tail [..., 8, 4, 2]: 8 devices -> capped to 2
+    assert compatible_mesh_size(8, [128, 64, 32, 16, 8, 4, 2]) == 2
+    assert compatible_mesh_size(8, [128, 64, 32]) == 8
+    assert compatible_mesh_size(8, [12, 20]) == 4
+    assert compatible_mesh_size(1, [2]) == 1
+    assert compatible_mesh_size(8, [7]) == 7

@@ -66,19 +66,21 @@ def main():
     shutil.copy2(args.config, output_dir)
     logger = make_logger("project", opt.output_dir, "log")
 
+    import math
+
     import jax
     from stylegan_tpu.parallel import create_mesh
-    n_dev = args.num_devices or jax.device_count()
+    from stylegan_tpu.parallel.mesh import compatible_mesh_size
+    requested = args.num_devices or jax.device_count()
     # the batch is sharded over the mesh, so every per-depth global batch
     # size must divide evenly; deep progressive stages use tiny batches
     # (default [...,8,4,2]) — cap the mesh to the largest compatible size
     # instead of crashing days into a run at depth 7
-    total_depth = int(__import__("math").log2(opt.dataset.resolution)) - 1
+    total_depth = int(math.log2(opt.dataset.resolution)) - 1
     start = args.start_depth if opt.structure == "linear" else total_depth - 1
     batches_used = opt.sched.batch_sizes[start:total_depth]
-    while n_dev > 1 and any(bs % n_dev != 0 for bs in batches_used):
-        n_dev -= 1
-    if args.num_devices and n_dev != args.num_devices:
+    n_dev = compatible_mesh_size(requested, batches_used)
+    if n_dev != requested:
         logger.info("Reduced mesh to %d device(s) so per-depth batch sizes "
                     "%s shard evenly.", n_dev, batches_used)
     mesh = create_mesh(n_dev) if n_dev > 1 else None

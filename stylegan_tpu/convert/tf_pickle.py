@@ -34,7 +34,7 @@ from __future__ import annotations
 import io
 import math
 import pickle
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

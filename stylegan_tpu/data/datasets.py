@@ -13,7 +13,7 @@ Output layout is NHWC float32 (TPU-native), not CHW.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -39,7 +39,14 @@ class StyleGAN:
                  g_args, d_args, g_opt_args, d_opt_args, conditional=False,
                  n_classes=0, loss="relativistic-hinge", drift=0.001,
                  d_repeats=1, use_ema=False, ema_decay=0.999,
-                 mesh=None, seed=0, activations_dtype="float32"):
+                 mesh=None, max_devices=None, seed=0,
+                 activations_dtype="float32"):
+        """mesh: a fixed jax Mesh for every step (caller guarantees batch
+        divisibility), or None.  max_devices: adaptive data parallelism —
+        each step uses the largest mesh (<= max_devices) that its global
+        batch divides, so early progressive depths (batch 128) use every
+        chip while the deepest stages (batch 4/2) shrink gracefully instead
+        of capping the whole run."""
         assert structure in ["fixed", "linear"]
         if conditional:
             assert n_classes > 0, "Conditional GANs require n_classes > 0"
@@ -53,6 +60,8 @@ class StyleGAN:
         self.use_ema = use_ema
         self.ema_decay = ema_decay
         self.mesh = mesh
+        self.max_devices = max_devices
+        self._mesh_cache = {}
         # bf16 activations / f32 params+optimizer: params stay f32 and are
         # cast at apply time (ops cast weights to the activation dtype);
         # reals and latents enter the step in this dtype.
@@ -89,15 +98,44 @@ class StyleGAN:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def _get_step(self, depth: int):
-        if depth not in self._steps:
-            self._steps[depth] = build_train_step(
+    def _mesh_for_batch(self, batch_size: int):
+        """Fixed mesh if given; else the largest adaptive mesh the batch
+        divides (None = single device)."""
+        if self.mesh is not None:
+            return self.mesh
+        if not self.max_devices or self.max_devices <= 1:
+            return None
+        from ..parallel.mesh import compatible_mesh_size, create_mesh
+        n = compatible_mesh_size(self.max_devices, [batch_size])
+        if n <= 1:
+            return None
+        if n not in self._mesh_cache:
+            self._mesh_cache[n] = create_mesh(n)
+        return self._mesh_cache[n]
+
+    def _ensure_placement(self, mesh):
+        """Re-place the train state when the adaptive mesh changes (arrays
+        replicated over an 8-device mesh can't feed a 2-device shard_map);
+        happens once per depth transition."""
+        if getattr(self, "_last_mesh", "unset") is mesh:
+            return
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        target = (NamedSharding(mesh, P()) if mesh is not None
+                  else jax.devices()[0])
+        self.state = jax.device_put(self.state, target)
+        self._last_mesh = mesh
+
+    def _get_step(self, depth: int, mesh):
+        key = (depth, mesh.size if mesh is not None else 1)
+        if key not in self._steps:
+            self._steps[key] = build_train_step(
                 self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx, depth=depth,
                 loss=self.loss_name, d_repeats=self.d_repeats,
                 use_ema=self.use_ema, ema_decay=self.ema_decay,
                 conditional=self.conditional, drift=self.drift,
-                mesh=self.mesh)
-        return self._steps[depth]
+                mesh=mesh)
+        return self._steps[key]
 
     def _get_sample_fn(self, depth: int):
         if depth not in self._sample_fns:
@@ -111,13 +149,15 @@ class StyleGAN:
     def optimize_discriminator(self, noise, real_batch, depth, alpha,
                                labels=None):
         from .steps import build_d_step
-        key = ("d", depth)
+        mesh = self._mesh_for_batch(real_batch.shape[0])
+        self._ensure_placement(mesh)
+        key = ("d", depth, mesh.size if mesh is not None else 1)
         if key not in self._steps:
             self._steps[key] = build_d_step(
                 self.gen_cfg, self.dis_cfg, self.d_tx, depth=depth,
                 loss=self.loss_name, d_repeats=self.d_repeats,
                 conditional=self.conditional, drift=self.drift,
-                mesh=self.mesh)
+                mesh=mesh)
         args = (self.state.d_params, self.state.d_opt_state,
                 self.state.g_params, jnp.asarray(real_batch),
                 jnp.asarray(noise), self._next_key(), jnp.float32(alpha))
@@ -135,13 +175,15 @@ class StyleGAN:
 
     def optimize_generator(self, noise, real_batch, depth, alpha, labels=None):
         from .steps import build_g_step
-        key = ("g", depth)
+        mesh = self._mesh_for_batch(real_batch.shape[0])
+        self._ensure_placement(mesh)
+        key = ("g", depth, mesh.size if mesh is not None else 1)
         if key not in self._steps:
             self._steps[key] = build_g_step(
                 self.gen_cfg, self.dis_cfg, self.g_tx, depth=depth,
                 loss=self.loss_name, use_ema=self.use_ema,
                 ema_decay=self.ema_decay, conditional=self.conditional,
-                mesh=self.mesh)
+                mesh=mesh)
         args = (self.state.g_params, self.state.g_opt_state,
                 self.state.g_shadow, self.state.d_params,
                 jnp.asarray(real_batch), jnp.asarray(noise),
@@ -167,8 +209,10 @@ class StyleGAN:
             raise ValueError(
                 f"global batch {images.shape[0]} must divide evenly over the "
                 f"{self.mesh.size}-device mesh (adjust sched.batch_sizes or "
-                "the mesh size)")
-        step = self._get_step(depth)
+                "the mesh size, or use max_devices= for adaptive meshes)")
+        mesh = self._mesh_for_batch(images.shape[0])
+        self._ensure_placement(mesh)
+        step = self._get_step(depth, mesh)
         key = self._next_key()
         dt = self.activations_dtype
         z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),

@@ -198,3 +198,31 @@ def test_bf16_activation_training(tmp_path):
     # params remain f32
     leaf = jax.tree_util.tree_leaves(trainer.state.g_params)[0]
     assert np.asarray(leaf).dtype == np.float32
+
+
+def test_adaptive_mesh_training(tmp_path):
+    """max_devices: batch 16 shards over 8 CPU devices, batch 2 falls back to
+    single device — both train in the same run (per-depth adaptive meshes)."""
+    g_args = {"latent_size": 64, "mapping_layers": 2,
+              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
+              "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+    trainer = StyleGAN(structure="linear", resolution=RES, num_channels=3,
+                       latent_size=64, g_args=g_args, d_args=d_args,
+                       g_opt_args=opt_args, d_opt_args=opt_args,
+                       use_ema=True, seed=0, max_devices=8)
+    rs = np.random.RandomState(0)
+    d, g = trainer.train_on_batch(
+        rs.randn(16, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
+    assert np.isfinite(d) and np.isfinite(g)
+    assert trainer._mesh_for_batch(16).size == 8
+    d, g = trainer.train_on_batch(
+        rs.randn(2, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
+    assert np.isfinite(d) and np.isfinite(g)
+    assert trainer._mesh_for_batch(2) in (None,) or \
+        trainer._mesh_for_batch(2).size == 2
+    # separate compiled steps cached per (depth, mesh size)
+    assert (1, 8) in trainer._steps and ((1, 1) in trainer._steps
+                                         or (1, 2) in trainer._steps)

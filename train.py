@@ -66,25 +66,13 @@ def main():
     shutil.copy2(args.config, output_dir)
     logger = make_logger("project", opt.output_dir, "log")
 
-    import math
-
     import jax
-    from stylegan_tpu.parallel import create_mesh
-    from stylegan_tpu.parallel.mesh import compatible_mesh_size
-    requested = args.num_devices or jax.device_count()
-    # the batch is sharded over the mesh, so every per-depth global batch
-    # size must divide evenly; deep progressive stages use tiny batches
-    # (default [...,8,4,2]) — cap the mesh to the largest compatible size
-    # instead of crashing days into a run at depth 7
-    total_depth = int(math.log2(opt.dataset.resolution)) - 1
-    start = args.start_depth if opt.structure == "linear" else total_depth - 1
-    batches_used = opt.sched.batch_sizes[start:total_depth]
-    n_dev = compatible_mesh_size(requested, batches_used)
-    if n_dev != requested:
-        logger.info("Reduced mesh to %d device(s) so per-depth batch sizes "
-                    "%s shard evenly.", n_dev, batches_used)
-    mesh = create_mesh(n_dev) if n_dev > 1 else None
-    logger.info("Using %d %s device(s).", n_dev, jax.default_backend())
+    # Adaptive data parallelism: each depth uses the largest mesh its global
+    # batch divides (early depths at batch 128 use every chip; the deepest
+    # stages at batch 4/2 shrink gracefully instead of capping the whole run)
+    max_devices = args.num_devices or jax.device_count()
+    logger.info("Up to %d %s device(s), per-depth adaptive data parallelism.",
+                max_devices, jax.default_backend())
 
     # precision / kernel knobs (stylegan_tpu/config.py TPU-native additions)
     from stylegan_tpu.ops import fused as fused_ops
@@ -116,7 +104,7 @@ def main():
                          d_repeats=opt.d_repeats,
                          use_ema=opt.use_ema,
                          ema_decay=opt.ema_decay,
-                         mesh=mesh,
+                         max_devices=max_devices,
                          seed=opt.seed,
                          activations_dtype=opt.precision.activations)
 

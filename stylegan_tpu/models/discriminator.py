@@ -123,7 +123,7 @@ def _concat_label_planes(params: dict, emb_idx: int, images: jax.Array,
     b, h, w, _ = images.shape
     emb = jnp.take(params["embeddings"][emb_idx]["weight"], labels, axis=0)
     emb = emb.reshape(b, -1, h, w).transpose(0, 2, 3, 1)
-    return jnp.concatenate([images, emb], axis=-1)
+    return jnp.concatenate([images, emb.astype(images.dtype)], axis=-1)
 
 
 def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
@@ -157,7 +157,9 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
             cfg, params["blocks"][cfg.depth - depth - 1],
             conv2d_apply(params["from_rgb"][cfg.depth - depth - 1], images,
                          gain=_GAIN, use_wscale=cfg.use_wscale))
-        x = alpha * straight + (1.0 - alpha) * residual
+        # blend in the activation dtype (alpha is a precise f32 scalar;
+        # without the cast it would promote the whole D trunk under bf16)
+        x = (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)
         for i in range(cfg.depth - depth, len(params["blocks"])):
             x = discriminator_block_apply(cfg, params["blocks"][i], x)
     else:

@@ -82,7 +82,8 @@ def generator_apply(cfg: GeneratorConfig, params: dict, latents: jax.Array,
     """
     if cfg.conditional:
         assert labels is not None, "Conditional generation requires labels"
-        latents = jnp.concatenate([latents, embed_labels(params, labels)], axis=1)
+        emb = embed_labels(params, labels).astype(latents.dtype)
+        latents = jnp.concatenate([latents, emb], axis=1)
 
     dlatents = mapping_apply(cfg.mapping, params["g_mapping"], latents)
 

@@ -227,4 +227,6 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
                               dlatents[:, 2 * depth:2 * (depth + 1)],
                               depth - 1, rng, noises)
     straight = _to_rgb(cfg, params, depth, x)
-    return alpha * straight + (1.0 - alpha) * residual
+    # alpha arrives as an f32 scalar (precise fade schedule); cast the blend
+    # back to the activation dtype so a bf16 pipeline stays bf16 downstream
+    return (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)

@@ -30,6 +30,18 @@ from .precision import get_precision
 from .primitives import DIMS, blur2d, downscale2d, upscale2d
 
 
+def _accum_dtype(x: jax.Array):
+    """preferred_element_type for matmuls/convs on `x`.
+
+    f32 inputs keep explicit f32 output (a no-op request).  bf16 inputs get
+    None (native bf16 output): the TPU MXU accumulates partial sums in f32
+    internally either way, and requesting an f32 *output* from a bf16 conv
+    breaks the conv transpose rule under AD (the cotangent arrives f32 while
+    the saved activations are bf16 — lax.conv requires matching dtypes).
+    """
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
 def equalized_scales(gain: float, fan_in: int, lrmul: float,
                      use_wscale: bool) -> tuple[float, float]:
     """Return (init_std, w_mul) per the reference rule (CustomLayers.py:84-91)."""
@@ -59,9 +71,10 @@ def linear_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
     _, w_mul = equalized_scales(gain, in_dim, lrmul, use_wscale)
     y = jnp.dot(x, params["weight"] * w_mul,
                 precision=get_precision(),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                preferred_element_type=_accum_dtype(x)).astype(x.dtype)
     if "bias" in params:
-        y = y + params["bias"] * lrmul
+        # cast the f32 bias down: an f32 bias would promote a bf16 pipeline
+        y = y + (params["bias"] * lrmul).astype(y.dtype)
     return y
 
 
@@ -94,7 +107,7 @@ def _conv_same(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
         x, w.astype(x.dtype), (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=DIMS,
         precision=get_precision(),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(x),
     ).astype(x.dtype)
 
 
@@ -116,7 +129,8 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
     w = params["weight"] * _conv_w_mul(params, gain, use_wscale, lrmul)
     bias = params.get("bias")
     if bias is not None:
-        bias = bias * lrmul
+        # cast down so an f32 bias can't promote a bf16 activation pipeline
+        bias = (bias * lrmul).astype(x.dtype)
 
     h, wdt = x.shape[1], x.shape[2]
     intermediate = None
@@ -171,7 +185,7 @@ def _fused_upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
         lhs_dilation=(2, 2),
         dimension_numbers=DIMS,
         precision=get_precision(),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(x),
     ).astype(x.dtype)
 
 
@@ -184,5 +198,5 @@ def _fused_downscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:
         x, w4.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],
         dimension_numbers=DIMS,
         precision=get_precision(),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(x),
     ).astype(x.dtype)

@@ -41,8 +41,12 @@ def pixel_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
     feature maps alike; the reference normalizes dim=1 of NCHW which is the
     same channel axis).
     """
-    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    return x * lax.rsqrt(ms + epsilon)
+    # statistics accumulate in f32: a bf16 mean over many channels loses
+    # mantissa bits, and the result multiplies back into x anyway (the rsqrt
+    # factor re-casts to x.dtype, so bf16 pipelines stay bf16 downstream)
+    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return x * lax.rsqrt(ms + epsilon).astype(x.dtype)
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
@@ -115,10 +119,17 @@ def blur2d(x: jax.Array, kernel2d: jax.Array, stride: int = 1) -> jax.Array:
 
 def instance_norm(x: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     """Per-sample per-channel spatial normalization, no affine
-    (torch.nn.InstanceNorm2d default semantics, biased variance)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + epsilon)
+    (torch.nn.InstanceNorm2d default semantics, biased variance).
+
+    Statistics accumulate in f32 regardless of x.dtype: at 1024^2 the spatial
+    mean/var reduce over 1M pixels, where bf16 accumulation drifts badly; the
+    normalized output is cast back so bf16 pipelines stay bf16 (the O(B*C)
+    f32 statistics are free next to the O(B*H*W*C) elementwise work).
+    """
+    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + epsilon)).astype(x.dtype)
 
 
 def minibatch_stddev(x: jax.Array, group_size: int = 4,
@@ -137,14 +148,17 @@ def minibatch_stddev(x: jax.Array, group_size: int = 4,
     g = min(group_size, b)
     assert b % g == 0, f"batch {b} not divisible by stddev group {g}"
     f = num_new_features
+    # statistics in f32 (the final spatial mean reduces over H*W*c elements —
+    # ~1M at 1024^2 — where bf16 accumulation drifts); cast back at the end
+    y = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     # (g, b//g, H, W, f, c//f)
-    y = x.reshape(g, b // g, h, w, f, c // f)
+    y = y.reshape(g, b // g, h, w, f, c // f)
     y = y - jnp.mean(y, axis=0, keepdims=True)
     y = jnp.mean(jnp.square(y), axis=0)              # (b//g, H, W, f, c//f)
     y = jnp.sqrt(y + 1e-8)
     y = jnp.mean(y, axis=(1, 2, 4))                  # (b//g, f)
     y = jnp.broadcast_to(y[None, :, None, None, :], (g, b // g, h, w, f))
-    y = y.reshape(b, h, w, f)
+    y = y.reshape(b, h, w, f).astype(x.dtype)
     return jnp.concatenate([x, y], axis=-1)
 
 
@@ -156,7 +170,9 @@ def truncate_dlatents(dlatents: jax.Array, avg_latent: jax.Array,
     Reference: CustomLayers.py:319-323.
     """
     num_layers = dlatents.shape[1]
-    interp = avg_latent + (dlatents - avg_latent) * psi
+    # lerp in f32 (avg_latent is an f32 buffer, psi a precise f32 scalar),
+    # cast back so a bf16 W pipeline stays bf16
+    interp = (avg_latent + (dlatents - avg_latent) * psi).astype(dlatents.dtype)
     layer_idx = jnp.arange(num_layers)[None, :, None]
     return jnp.where(layer_idx < cutoff, interp, dlatents)
 
@@ -181,4 +197,4 @@ def style_modulate(x: jax.Array, style: jax.Array) -> jax.Array:
 
 def add_noise(x: jax.Array, noise_weight: jax.Array, noise: jax.Array) -> jax.Array:
     """x + weight[c] * noise, noise shaped (B, H, W, 1) (CustomLayers.py:191-200)."""
-    return x + noise_weight[None, None, None, :] * noise
+    return x + noise_weight.astype(x.dtype)[None, None, None, :] * noise.astype(x.dtype)

@@ -1,7 +1,11 @@
 """Device-mesh helpers for data-parallel training."""
 
-from .distributed import host_count, host_index, initialize_distributed
-from .mesh import create_mesh, device_count
+from .distributed import (global_shard, host_count, host_index, is_multihost,
+                          initialize_distributed, replicate)
+from .mesh import (compatible_mesh_size, create_mesh, device_count,
+                   resolve_max_devices)
 
-__all__ = ["create_mesh", "device_count",
-           "host_count", "host_index", "initialize_distributed"]
+__all__ = ["create_mesh", "device_count", "compatible_mesh_size",
+           "resolve_max_devices", "host_count", "host_index",
+           "initialize_distributed", "is_multihost", "global_shard",
+           "replicate"]

@@ -38,3 +38,39 @@ def host_index() -> int:
 
 def host_count() -> int:
     return jax.process_count()
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def global_shard(mesh, local, axis_name: str = "data"):
+    """Assemble each host's local batch shard into one global batch-sharded
+    array over `mesh`'s `axis_name`.
+
+    `local` is this process's slice of the global batch (the loader's
+    per-host stripe); the returned jax.Array has global shape
+    (local_batch * host_count, ...) laid out so each device holds its own
+    contiguous piece — no cross-host data movement happens here, only
+    metadata assembly.  Under a single process this is a plain device_put.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    local = np.asarray(local)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def replicate(mesh, tree):
+    """Replicate a host-local pytree over every device of `mesh` (params /
+    optimizer state / EMA under data parallelism).  Works across processes:
+    every host must hold identical values (deterministic same-seed init or a
+    restored checkpoint)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -45,13 +45,17 @@ def compatible_mesh_size(n_devices: int, batch_sizes) -> int:
     return n
 
 
-def maybe_create_mesh(parallel_cfg=None) -> Optional[Mesh]:
-    """Mesh from config: None for a single device (no shard_map overhead)."""
-    n = jax.device_count()
+def resolve_max_devices(parallel_cfg=None, flag_value: Optional[int] = None) -> int:
+    """Device budget for adaptive data parallelism.
+
+    Precedence: explicit CLI flag > `parallel.data_axis` yaml knob ('auto' =
+    all visible devices) > all visible devices.  Used by train.py; the
+    trainer then sizes the actual mesh per depth (see
+    trainer._mesh_for_batch)."""
+    if flag_value:
+        return int(flag_value)
     if parallel_cfg is not None:
         axis = parallel_cfg.get("data_axis", "auto")
         if axis != "auto":
-            n = int(axis)
-    if n <= 1:
-        return None
-    return create_mesh(n)
+            return int(axis)
+    return jax.device_count()

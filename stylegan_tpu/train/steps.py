@@ -48,7 +48,9 @@ def progressive_downsample(reals: jax.Array, total_depth: int, depth: int,
     ds = avg_pool2d(reals, factor) if factor > 1 else reals
     if depth > 0:
         prior = upscale2d(avg_pool2d(reals, factor * 2))
-        return alpha * ds + (1.0 - alpha) * prior
+        # keep the blend in the activation dtype: a strongly-typed f32 alpha
+        # would otherwise promote the whole D pass to f32 under bf16
+        return (alpha * ds + (1.0 - alpha) * prior).astype(reals.dtype)
     return ds
 
 
@@ -175,6 +177,12 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                                g_opt_state=g_opt_state,
                                d_opt_state=d_opt_state, g_shadow=g_shadow)
         metrics = {"d_loss": d_loss_mean, "g_loss": g_loss_val}
+        if axis_name is not None:
+            # built-in losses are already global-batch means (replicated), but
+            # a custom (dis_loss_fn, gen_loss_fn) pair may ignore axis_name —
+            # pmean makes the reported scalars well-defined either way (the
+            # replicated out_spec would otherwise report one arbitrary shard)
+            metrics = jax.lax.pmean(metrics, axis_name)
         return new_state, metrics
 
     if conditional:
@@ -247,7 +255,10 @@ def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
             d_params = optax.apply_updates(d_params, updates)
             g_params = _with_avg(g_params, avg)
             loss_total = loss_total + lv
-        return d_params, d_opt_state, avg, loss_total / d_repeats
+        loss_mean = loss_total / d_repeats
+        if axis_name is not None:
+            loss_mean = jax.lax.pmean(loss_mean, axis_name)
+        return d_params, d_opt_state, avg, loss_mean
 
     if conditional:
         fn = lambda dp, do, gp, r, z, k, a, lab: body(dp, do, gp, r, z, k, a, lab)
@@ -302,6 +313,8 @@ def build_g_step(gen_cfg, dis_cfg, g_tx, *, depth: int,
         g_params = _with_avg(g_params, avg)
         if use_ema and g_shadow is not None:
             g_shadow = ema_update(g_shadow, g_params, ema_decay)
+        if axis_name is not None:
+            lv = jax.lax.pmean(lv, axis_name)
         return g_params, g_opt_state, g_shadow, lv
 
     if conditional:

@@ -100,13 +100,23 @@ class StyleGAN:
 
     def _mesh_for_batch(self, batch_size: int):
         """Fixed mesh if given; else the largest adaptive mesh the batch
-        divides (None = single device)."""
+        divides (None = single device).
+
+        Minibatch-stddev groups are shard-local, so the adaptive mesh is
+        additionally capped so every shard holds at least one full stddev
+        group (per-device batch >= mbstd_group_size).  Without the cap a
+        deep stage like batch 8 over 8 chips gives per-shard batch 1, the
+        group degenerates to size 1 and the stddev feature collapses to a
+        constant — silently removing D's anti-collapse signal vs the
+        reference's group=min(4, B) semantics (CustomLayers.py:294)."""
         if self.mesh is not None:
             return self.mesh
         if not self.max_devices or self.max_devices <= 1:
             return None
         from ..parallel.mesh import compatible_mesh_size, create_mesh
-        n = compatible_mesh_size(self.max_devices, [batch_size])
+        group = max(1, int(getattr(self.dis_cfg, "mbstd_group_size", 1)))
+        cap = min(self.max_devices, max(1, batch_size // group))
+        n = compatible_mesh_size(cap, [batch_size])
         if n <= 1:
             return None
         if n not in self._mesh_cache:
@@ -204,23 +214,48 @@ class StyleGAN:
 
     # ------------------------------------------------------------------
     def train_on_batch(self, images, depth, alpha, labels=None):
-        """One fused D+G update on a batch of full-res reals."""
-        if self.mesh is not None and images.shape[0] % self.mesh.size != 0:
+        """One fused D+G update on a batch of full-res reals.
+
+        Single process: `images` is the full global batch.  Multi-host
+        (jax.process_count() > 1, after parallel.initialize_distributed):
+        `images` is this process's *local shard* of the global batch (the
+        loader's per-host stripe; global batch = local * host_count), and the
+        trainer requires a fixed mesh spanning all global devices."""
+        nproc = jax.process_count()
+        global_batch = images.shape[0] * nproc
+        if self.mesh is not None and global_batch % self.mesh.size != 0:
             raise ValueError(
-                f"global batch {images.shape[0]} must divide evenly over the "
+                f"global batch {global_batch} must divide evenly over the "
                 f"{self.mesh.size}-device mesh (adjust sched.batch_sizes or "
                 "the mesh size, or use max_devices= for adaptive meshes)")
-        mesh = self._mesh_for_batch(images.shape[0])
+        if nproc > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-host training requires a fixed global mesh "
+                "(StyleGAN(mesh=create_mesh()) after initialize_distributed)"
+                " — adaptive max_devices meshes are single-process only")
+        mesh = self._mesh_for_batch(global_batch)
         self._ensure_placement(mesh)
         step = self._get_step(depth, mesh)
         key = self._next_key()
         dt = self.activations_dtype
-        z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),
-                              (images.shape[0], self.latent_size), dt)
-        args = (self.state, jnp.asarray(images, dt), z, key,
-                jnp.float32(alpha))
+        if nproc > 1:
+            from ..parallel.distributed import global_shard
+            # each host draws only its own stripe of the global z
+            z_local = jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(key, 0xBEEF),
+                                   jax.process_index()),
+                (images.shape[0], self.latent_size), dt)
+            reals = global_shard(mesh, np.asarray(images, dt))
+            z = global_shard(mesh, np.asarray(z_local))
+        else:
+            z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),
+                                  (global_batch, self.latent_size), dt)
+            reals = jnp.asarray(images, dt)
+        args = (self.state, reals, z, key, jnp.float32(alpha))
         if self.conditional:
-            args = args + (jnp.asarray(labels),)
+            labels_dev = (global_shard(mesh, np.asarray(labels))
+                          if nproc > 1 else jnp.asarray(labels))
+            args = args + (labels_dev,)
         self.state, metrics = step(*args)
         return float(metrics["d_loss"]), float(metrics["g_loss"])
 

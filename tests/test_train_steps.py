@@ -238,3 +238,15 @@ def test_compatible_mesh_size():
     assert compatible_mesh_size(8, [12, 20]) == 4
     assert compatible_mesh_size(1, [2]) == 1
     assert compatible_mesh_size(8, [7]) == 7
+
+
+def test_resolve_max_devices():
+    """CLI flag > parallel.data_axis yaml knob > all visible devices."""
+    import jax
+    from stylegan_tpu.config import get_default_cfg
+    from stylegan_tpu.parallel import resolve_max_devices
+    cfg = get_default_cfg()
+    assert resolve_max_devices(cfg.parallel, None) == jax.device_count()
+    cfg.parallel.data_axis = 2
+    assert resolve_max_devices(cfg.parallel, None) == 2
+    assert resolve_max_devices(cfg.parallel, 4) == 4

@@ -201,7 +201,7 @@ def test_bf16_activation_training(tmp_path):
 
 
 def test_adaptive_mesh_training(tmp_path):
-    """max_devices: batch 16 shards over 8 CPU devices, batch 2 falls back to
+    """max_devices: batch 32 shards over 8 CPU devices, batch 2 falls back to
     single device — both train in the same run (per-depth adaptive meshes)."""
     g_args = {"latent_size": 64, "mapping_layers": 2,
               "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
@@ -215,14 +215,36 @@ def test_adaptive_mesh_training(tmp_path):
                        use_ema=True, seed=0, max_devices=8)
     rs = np.random.RandomState(0)
     d, g = trainer.train_on_batch(
-        rs.randn(16, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
+        rs.randn(32, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
     assert np.isfinite(d) and np.isfinite(g)
-    assert trainer._mesh_for_batch(16).size == 8
+    assert trainer._mesh_for_batch(32).size == 8
     d, g = trainer.train_on_batch(
         rs.randn(2, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
     assert np.isfinite(d) and np.isfinite(g)
-    assert trainer._mesh_for_batch(2) in (None,) or \
-        trainer._mesh_for_batch(2).size == 2
+    assert trainer._mesh_for_batch(2) is None
     # separate compiled steps cached per (depth, mesh size)
-    assert (1, 8) in trainer._steps and ((1, 1) in trainer._steps
-                                         or (1, 2) in trainer._steps)
+    assert (1, 8) in trainer._steps and (1, 1) in trainer._steps
+
+
+def test_adaptive_mesh_respects_stddev_group():
+    """The adaptive mesh keeps per-device batch >= mbstd_group_size so the
+    shard-local minibatch-stddev statistic never degenerates to group 1."""
+    g_args = {"latent_size": 64, "mapping_layers": 2,
+              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
+              "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+    trainer = StyleGAN(structure="linear", resolution=RES, num_channels=3,
+                       latent_size=64, g_args=g_args, d_args=d_args,
+                       g_opt_args=opt_args, d_opt_args=opt_args,
+                       use_ema=False, seed=0, max_devices=8)
+    assert trainer.dis_cfg.mbstd_group_size == 4
+    # batch 8 over 8 devices would give per-shard batch 1 -> cap to 2 devices
+    m = trainer._mesh_for_batch(8)
+    assert m is not None and m.size == 2
+    # batch 16 -> at most 4 devices (per-shard batch 4 = one full group)
+    assert trainer._mesh_for_batch(16).size == 4
+    # batch 4 and 2 -> single device, exactly the reference's group=min(4,B)
+    assert trainer._mesh_for_batch(4) is None
+    assert trainer._mesh_for_batch(2) is None

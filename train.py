@@ -57,7 +57,9 @@ def main():
 
     output_dir = opt.output_dir
     if os.path.exists(output_dir):
-        raise KeyError("Existing path: ", output_dir)
+        raise FileExistsError(
+            f"output_dir '{output_dir}' already exists — refusing to "
+            "clobber a previous run (pick a new dir or remove it)")
     os.makedirs(output_dir)
 
     # snapshot sources + config for reproducibility
@@ -67,10 +69,14 @@ def main():
     logger = make_logger("project", opt.output_dir, "log")
 
     import jax
+
+    from stylegan_tpu.parallel import resolve_max_devices
     # Adaptive data parallelism: each depth uses the largest mesh its global
     # batch divides (early depths at batch 128 use every chip; the deepest
-    # stages at batch 4/2 shrink gracefully instead of capping the whole run)
-    max_devices = args.num_devices or jax.device_count()
+    # stages at batch 4/2 shrink gracefully instead of capping the whole run).
+    # Precedence: --num_devices flag > parallel.data_axis yaml knob > all
+    # visible devices.
+    max_devices = resolve_max_devices(opt.parallel, args.num_devices)
     logger.info("Up to %d %s device(s), per-depth adaptive data parallelism.",
                 max_devices, jax.default_backend())
 
@@ -120,22 +126,25 @@ def main():
     # resume from checkpoints (partial, depth-filtered loads — reference
     # train.py:24-29 semantics)
     if args.generator_file is not None:
-        logger.info("Loading generator from: %s", args.generator_file)
+        logger.info("Restoring generator params <- %s", args.generator_file)
         style_gan.load_generator(args.generator_file)
     else:
-        logger.info("Training from scratch...")
+        logger.info("No generator checkpoint given; starting with fresh "
+                    "initialization.")
     if args.discriminator_file is not None:
-        logger.info("Loading discriminator from: %s", args.discriminator_file)
+        logger.info("Restoring discriminator params <- %s",
+                    args.discriminator_file)
         style_gan.load_discriminator(args.discriminator_file)
     if args.gen_shadow_file is not None and opt.use_ema:
-        logger.info("Loading shadow generator from: %s", args.gen_shadow_file)
+        logger.info("Restoring EMA shadow generator <- %s",
+                    args.gen_shadow_file)
         style_gan.load_gen_shadow(args.gen_shadow_file)
     if args.gen_optim_file is not None:
-        logger.info("Loading generator optimizer from: %s",
+        logger.info("Restoring generator optimizer state <- %s",
                     args.gen_optim_file)
         style_gan.load_gen_optim(args.gen_optim_file)
     if args.dis_optim_file is not None:
-        logger.info("Loading discriminator optimizer from: %s",
+        logger.info("Restoring discriminator optimizer state <- %s",
                     args.dis_optim_file)
         style_gan.load_dis_optim(args.dis_optim_file)
 

@@ -147,11 +147,11 @@ class SyntheticDataset(ImageDatasetBase):
     """Random-image dataset for tests and benchmarks (no disk IO)."""
 
     def __init__(self, n: int, resolution: int, channels: int = 3,
-                 n_classes: int = 0, seed: int = 0):
+                 n_classes: int = 0, seed: int = 0, random_flip: bool = False):
         self.n = n
         self.resolution = resolution
         self.channels = channels
-        self.random_flip = False
+        self.random_flip = random_flip
         rs = np.random.RandomState(seed)
         self.labels = (list(rs.randint(0, n_classes, size=n))
                        if n_classes > 0 else None)
@@ -159,9 +159,15 @@ class SyntheticDataset(ImageDatasetBase):
         self._seed = seed
 
     def get(self, idx: int, rng=None):
+        # honors the ImageDatasetBase.get(idx, rng) augmentation contract:
+        # the flip decision consumes `rng` exactly like the base class does
+        flip = bool(rng.randint(2)) if (self.random_flip and rng is not None) \
+            else False
         rs = np.random.RandomState(self._seed + idx)
         img = rs.uniform(-1, 1, (self.resolution, self.resolution,
                                  self.channels)).astype(np.float32)
+        if flip:
+            img = img[:, ::-1].copy()
         if self.labels is not None:
             return img, self.labels[idx]
         return img

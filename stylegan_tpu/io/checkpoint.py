@@ -54,9 +54,14 @@ def flatten_tree(tree) -> dict:
 def unflatten_like(template, flat: dict, partial: bool = True):
     """Rebuild a tree shaped like `template` from dotted-key arrays.
 
-    partial=True: missing keys keep the template value; shape mismatches keep
-    the template value too (reference-style resume into a deeper net).
+    partial=True: missing keys keep the template value (reference-style
+    resume of a shallow checkpoint into a deeper net — intentional, silent);
+    shape mismatches also keep the template value but emit a warning, because
+    they indicate a *config* mismatch (wrong fmap_base / latent_size / ...)
+    that would otherwise masquerade as a successfully restored model.
     """
+    mismatched = []
+
     def walk(node, prefix):
         if isinstance(node, dict):
             return {k: walk(v, f"{prefix}.{k}" if prefix else k)
@@ -75,12 +80,24 @@ def unflatten_like(template, flat: dict, partial: bool = True):
                 return jnp.asarray(v)
             if not partial:
                 raise ValueError(f"shape mismatch at {prefix}")
+            mismatched.append(
+                f"{prefix}: checkpoint {v.shape} vs model "
+                f"{np.asarray(node).shape}")
             return node
         if not partial:
             raise KeyError(f"missing key {prefix}")
         return node
 
-    return walk(template, "")
+    out = walk(template, "")
+    if mismatched:
+        import warnings
+        shown = "; ".join(mismatched[:8])
+        more = f" (+{len(mismatched) - 8} more)" if len(mismatched) > 8 else ""
+        warnings.warn(
+            f"checkpoint restore kept {len(mismatched)} initialized leaves "
+            f"due to shape mismatches (config mismatch?): {shown}{more}",
+            stacklevel=2)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,8 +1,16 @@
-"""Evaluate a trained generator against the training set with Sliced
-Wasserstein Distance (ProGAN metric; no pretrained features needed).
+"""Evaluate a trained generator against the training set.
+
+Metrics:
+  swd (default) — Sliced Wasserstein Distance over a Laplacian pyramid
+      (ProGAN metric; no pretrained features, works air-gapped).
+  fid — Frechet Inception Distance; requires --inception_weights, a local
+      `.npz` of torchvision inception_v3 state_dict tensors (see
+      stylegan_tpu/metrics/fid.py for the one-line conversion recipe).
 
   python eval_metrics.py --config configs/sample_ffhq_128.yaml \
       --generator_file out/models/GAN_GEN_SHADOW_5_32.npz --num_samples 256
+  python eval_metrics.py --config ... --generator_file ... \
+      --metric fid --inception_weights /weights/inception_v3.npz
 
 The reference ships no metric tooling (SURVEY.md §5); this fills that gap for
 quantitative tracking alongside the qualitative sample grids.
@@ -27,6 +35,10 @@ def parse_arguments():
     parser.add_argument("--num_samples", type=int, default=256)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--metric", choices=["swd", "fid"], default="swd")
+    parser.add_argument("--inception_weights", type=str, default=None,
+                        help="torchvision-schema inception_v3 .npz "
+                             "(required for --metric fid)")
     return parser.parse_args()
 
 
@@ -75,6 +87,21 @@ def main():
                   if opt.conditional else None)
         fakes.append(np.asarray(sample(z, ks, labels)))
     fakes = np.concatenate(fakes)[:args.num_samples]
+
+    if args.metric == "fid":
+        if not args.inception_weights:
+            raise SystemExit(
+                "--metric fid requires --inception_weights <inception_v3"
+                ".npz>; without pretrained weights use the air-gap-safe "
+                "default --metric swd")
+        from stylegan_tpu.metrics import compute_fid
+        # datasets / generator produce [-1, 1]; FID's pipeline takes [0, 1]
+        fid = compute_fid(np.clip((reals + 1) / 2, 0, 1),
+                          np.clip((fakes + 1) / 2, 0, 1),
+                          args.inception_weights, batch_size=args.batch)
+        print(json.dumps({"fid": round(fid, 4),
+                          "num_samples": args.num_samples}))
+        return
 
     swd = sliced_wasserstein_distance(jnp.asarray(reals), jnp.asarray(fakes),
                                       key=jax.random.PRNGKey(args.seed + 1))

@@ -1,11 +1,20 @@
 """Evaluation metrics.
 
 The reference ships no metric code (SURVEY.md §5: "No FID/IS/PPL metric code
-anywhere").  We provide Sliced Wasserstein Distance over a Laplacian pyramid —
-the ProGAN paper's metric — because it needs no pretrained feature extractor
-(FID's InceptionV3 weights are unavailable in air-gapped TPU pods).
+anywhere").  We provide:
+
+* Sliced Wasserstein Distance over a Laplacian pyramid — the ProGAN paper's
+  metric — which needs no pretrained feature extractor and therefore works
+  in air-gapped TPU pods (swd.py).
+* FID behind a local-weights flag: a torchvision-schema InceptionV3
+  implemented in JAX + the Frechet math, usable the moment converted
+  pretrained weights exist on disk (fid.py).
 """
 
+from .fid import (compute_fid, fid_from_features, frechet_distance,
+                  inception_v3_init, load_inception_weights, make_feature_fn)
 from .swd import sliced_wasserstein_distance
 
-__all__ = ["sliced_wasserstein_distance"]
+__all__ = ["sliced_wasserstein_distance", "compute_fid", "fid_from_features",
+           "frechet_distance", "inception_v3_init", "load_inception_weights",
+           "make_feature_fn"]

@@ -49,3 +49,89 @@ def test_detects_distribution_shift():
                                         key=jax.random.PRNGKey(1),
                                         n_patches=512, n_proj=32)["avg"]
     assert d_far > d_close
+
+
+# ---------------------------------------------------------------------------
+# FID (metrics/fid.py)
+# ---------------------------------------------------------------------------
+
+class TestFrechetMath:
+    def test_identical_statistics_are_zero(self):
+        from stylegan_tpu.metrics import frechet_distance
+        rs = np.random.RandomState(0)
+        mu = rs.randn(16)
+        a = rs.randn(64, 16)
+        sigma = np.cov(a, rowvar=False)
+        assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_diagonal_gaussian_closed_form(self):
+        """For diagonal covariances the Frechet distance has the closed form
+        |mu1-mu2|^2 + sum((sqrt(v1) - sqrt(v2))^2)."""
+        from stylegan_tpu.metrics import frechet_distance
+        rs = np.random.RandomState(1)
+        mu1, mu2 = rs.randn(8), rs.randn(8)
+        v1, v2 = rs.uniform(0.5, 2.0, 8), rs.uniform(0.5, 2.0, 8)
+        got = frechet_distance(mu1, np.diag(v1), mu2, np.diag(v2), eps=0.0)
+        want = np.sum((mu1 - mu2) ** 2) + np.sum((np.sqrt(v1) -
+                                                  np.sqrt(v2)) ** 2)
+        assert abs(got - want) < 1e-8
+
+    def test_fid_from_features_orders_distributions(self):
+        from stylegan_tpu.metrics import fid_from_features
+        rs = np.random.RandomState(2)
+        real = rs.randn(256, 16)
+        close = rs.randn(256, 16) * 1.05
+        far = rs.randn(256, 16) * 3 + 2
+        assert fid_from_features(real, far) > fid_from_features(real, close)
+
+
+class TestInceptionPipeline:
+    @pytest.fixture(scope="class")
+    def weights(self):
+        from stylegan_tpu.metrics import inception_v3_init
+        return inception_v3_init(jax.random.PRNGKey(0))
+
+    def test_feature_shape_and_determinism(self, weights):
+        from stylegan_tpu.metrics import make_feature_fn
+        fn = make_feature_fn(weights)
+        x = np.random.RandomState(3).uniform(0, 1, (2, 64, 64, 3)) \
+            .astype(np.float32)
+        f1 = np.asarray(fn(x))
+        f2 = np.asarray(fn(x))
+        assert f1.shape == (2, 2048)
+        assert np.all(np.isfinite(f1))
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_weights_file_roundtrip_and_validation(self, weights, tmp_path):
+        from stylegan_tpu.metrics import (load_inception_weights,
+                                          make_feature_fn)
+        path = str(tmp_path / "inception.npz")
+        np.savez(path, **weights)
+        loaded = load_inception_weights(path)
+        fn_a = make_feature_fn(weights)
+        fn_b = make_feature_fn(loaded)
+        x = np.random.RandomState(4).uniform(0, 1, (1, 32, 32, 3)) \
+            .astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(fn_a(x)), np.asarray(fn_b(x)))
+
+        bad = dict(weights)
+        bad["Mixed_7c.branch1x1.conv.weight"] = np.zeros((1, 1, 1, 1),
+                                                         np.float32)
+        bad_path = str(tmp_path / "bad.npz")
+        np.savez(bad_path, **bad)
+        with pytest.raises(ValueError, match="schema"):
+            load_inception_weights(bad_path)
+
+    def test_compute_fid_end_to_end(self, weights, tmp_path):
+        """The whole FID pipeline on synthetic weights: same set -> ~0,
+        disjoint distributions -> clearly larger."""
+        from stylegan_tpu.metrics import compute_fid
+        path = str(tmp_path / "inception.npz")
+        np.savez(path, **weights)
+        rs = np.random.RandomState(5)
+        real = rs.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+        fake = np.clip(real * 0.2 + 0.8, 0, 1)  # brightness-shifted copies
+        same = compute_fid(real, real, path, batch_size=4)
+        diff = compute_fid(real, fake, path, batch_size=4)
+        assert abs(same) < 1e-6
+        assert diff > max(10.0 * abs(same), 1e-4)

@@ -3,13 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Headline metric (BASELINE.md): images/sec/chip for full FFHQ-1024 generation
-(mapping + synthesis, eval semantics, bf16 activations / f32 params, NHWC).
+(mapping + synthesis, eval semantics, bf16 activations / f32 params, NHWC,
+space-to-depth packed execution for the low-channel stages — ops/packed.py).
 The reference publishes no numbers (SURVEY.md §6); the driver-defined target
 is >=3x an A100 running the reference PyTorch implementation.  vs_baseline is
 therefore reported against 3 x A100_EST, where A100_EST is our estimate of
 the torch reference's A100 1024^2 synthesis throughput (~25 img/s — StyleGAN1
 synthesis is ~72 GFLOP/img and the reference runs unfused f32 eager torch).
 vs_baseline >= 1.0 means the 3x-A100 target is met.
+
+Secondary metrics: the full fused train step (D+G+EMA) at 128^2 batch 16
+(the reference's per-depth batch), and at 1024^2 batch 8 with the
+logistic+R1 loss (the expensive grad-of-grad configuration).
 """
 
 import json
@@ -25,22 +30,25 @@ A100_EST_IMGS_PER_SEC = 25.0
 TARGET_MULTIPLIER = 3.0
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _gen_cfg(res, packed=True):
     from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
-                                     SynthesisConfig, generator_apply,
-                                     generator_init)
-    from stylegan_tpu.ops.precision import set_precision
-
-    set_precision("default")
-    res = 1024
-    cfg = GeneratorConfig(
+                                     SynthesisConfig)
+    return GeneratorConfig(
         resolution=res, truncation_psi=0.7,
         mapping=MappingConfig(mapping_layers=8,
                               dlatent_broadcast=(res.bit_length() - 2) * 2),
         synthesis=SynthesisConfig(resolution=res, blur_filter=(1, 2, 1),
-                                  structure="linear"))
+                                  structure="linear", packed=packed))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.models import generator_apply, generator_init
+    from stylegan_tpu.ops.precision import set_precision
+
+    set_precision("default")
+    cfg = _gen_cfg(1024)
     params = generator_init(jax.random.PRNGKey(0), cfg)
     depth = cfg.synthesis.depth - 1
 
@@ -74,7 +82,7 @@ def main():
         return batch * ITERS / best_dt
 
     best_bs, best = 0, 0.0
-    for batch in (8, 16):
+    for batch in (8, 16, 32):
         try:
             ips = run(batch)
         except Exception:
@@ -82,7 +90,9 @@ def main():
         if ips > best:
             best_bs, best = batch, ips
 
-    train_ips = _train_throughput_128()
+    train_ips = _train_throughput(res=128, batch=16, loss="relativistic-hinge")
+    train_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
+                                       iters=2)
 
     result = {
         "metric": "1024x1024 synthesis throughput (1 chip)",
@@ -91,6 +101,8 @@ def main():
         "vs_baseline": round(best / (TARGET_MULTIPLIER * A100_EST_IMGS_PER_SEC), 3),
         "batch_size": best_bs,
         "train_128_imgs_per_sec": round(train_ips, 3) if train_ips else None,
+        "train_1024_imgs_per_sec": (round(train_1024_ips, 3)
+                                    if train_1024_ips else None),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "baseline_note": ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
@@ -99,26 +111,21 @@ def main():
     print(json.dumps(result))
 
 
-def _train_throughput_128(batch=16, iters=4):
-    """Secondary metric (BASELINE.md): full fused train step (D+G+EMA,
-    relativistic-hinge) at 128x128, reference per-depth batch size 16."""
+def _train_throughput(res, batch, loss, iters=4):
+    """Full fused train step (D+G+EMA) images/sec at `res` (BASELINE.md).
+
+    res=128/relativistic-hinge is the reference default config; res=1024/
+    logistic adds the R1 grad-of-grad penalty (the expensive path)."""
     import jax
     import jax.numpy as jnp
-    from stylegan_tpu.models import (DiscriminatorConfig, GeneratorConfig,
-                                     MappingConfig, SynthesisConfig,
-                                     discriminator_init, generator_init)
+    from stylegan_tpu.models import (DiscriminatorConfig, discriminator_init,
+                                     generator_init)
     from stylegan_tpu.train import (build_train_step, create_train_state,
                                     make_d_optimizer, make_g_optimizer)
     try:
-        res = 128
-        gen_cfg = GeneratorConfig(
-            resolution=res,
-            mapping=MappingConfig(mapping_layers=8,
-                                  dlatent_broadcast=(res.bit_length() - 2) * 2),
-            synthesis=SynthesisConfig(resolution=res, blur_filter=(1, 2, 1),
-                                      structure="linear"))
+        gen_cfg = _gen_cfg(res)
         dis_cfg = DiscriminatorConfig(resolution=res, blur_filter=(1, 2, 1),
-                                      structure="linear")
+                                      structure="linear", packed=True)
         g_tx, d_tx = make_g_optimizer(), make_d_optimizer()
         state = create_train_state(
             generator_init(jax.random.PRNGKey(0), gen_cfg),
@@ -126,16 +133,17 @@ def _train_throughput_128(batch=16, iters=4):
             g_tx, d_tx, use_ema=True)
         depth = dis_cfg.depth - 1
         step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
-                                donate=False)
+                                loss=loss, donate=False)
 
         @jax.jit
         def scan_steps(state, key):
             def body(c, i):
                 st, acc = c
                 reals = jax.random.normal(jax.random.fold_in(key, 3 * i),
-                                          (batch, res, res, 3))
+                                          (batch, res, res, 3), jnp.bfloat16)
                 z = jax.random.normal(jax.random.fold_in(key, 3 * i + 1),
-                                      (batch, gen_cfg.latent_size))
+                                      (batch, gen_cfg.latent_size),
+                                      jnp.bfloat16)
                 st, metrics = step(st, reals, z,
                                    jax.random.fold_in(key, 3 * i + 2),
                                    jnp.float32(1.0))

@@ -227,6 +227,10 @@ def get_default_cfg() -> ConfigNode:
     c.parallel.data_axis = "auto"          # 'auto' = all local devices
     c.ops = ConfigNode()
     c.ops.use_pallas = "auto"              # 'auto' | True | False
+    # space-to-depth packed execution of the low-channel stages (2-3x faster
+    # convs on TPU; same math to f32 roundoff).  'auto' = on with bf16
+    # activations (the perf path), off in the f32 reference-parity default.
+    c.ops.packed = "auto"                  # 'auto' | True | False
 
     return c
 

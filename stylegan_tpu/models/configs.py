@@ -59,6 +59,10 @@ class SynthesisConfig:
     use_instance_norm: bool = True
     blur_filter: Optional[Tuple[int, ...]] = None
     structure: str = "linear"
+    # Execution-layout knob (not an architecture change): run the wide
+    # low-channel stages space-to-depth packed (ops/packed.py).  Same math,
+    # 2-3x faster convs on TPU; off by default for bit-level reference parity.
+    packed: bool = False
 
     @property
     def resolution_log2(self) -> int:
@@ -77,6 +81,15 @@ class SynthesisConfig:
 
     def nf(self, stage: int) -> int:
         return _nf(stage, self.fmap_base, self.fmap_decay, self.fmap_max)
+
+    def packed_block(self, block_idx: int) -> bool:
+        """Whether growth block `block_idx` (output res 2^(block_idx+3)) runs
+        in the packed domain: packed lanes must not exceed the 128-wide MXU
+        contraction (beyond that packing's 4x MAC overhead wins), and the
+        fused-resample path must be active (res >= 128)."""
+        res = 2 ** (block_idx + 3)
+        return (self.packed and res >= 128
+                and self.nf(block_idx + 2) * 4 <= 128)
 
 
 @dataclass(frozen=True)
@@ -125,6 +138,9 @@ class DiscriminatorConfig:
     mbstd_num_features: int = 1
     blur_filter: Optional[Tuple[int, ...]] = None
     structure: str = "linear"
+    # space-to-depth packed execution for the high-res low-channel stages
+    # (see SynthesisConfig.packed)
+    packed: bool = False
 
     @property
     def resolution_log2(self) -> int:
@@ -138,6 +154,13 @@ class DiscriminatorConfig:
 
     def nf(self, stage: int) -> int:
         return _nf(stage, self.fmap_base, self.fmap_decay, self.fmap_max)
+
+    def packed_res(self, res_log2: int) -> bool:
+        """Whether the D stage consuming resolution 2^res_log2 runs packed:
+        its trunk channels nf(res_log2-1) must pack within 128 lanes and the
+        fused downscale path must be active (input res >= 128)."""
+        return (self.packed and 2 ** res_log2 >= 128
+                and self.nf(res_log2 - 1) * 4 <= 128)
 
     @property
     def input_channels(self) -> int:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..ops import (avg_pool2d, blur2d, conv2d_apply, conv2d_init, leaky_relu,
                    linear_apply, linear_init, make_blur_kernel,
                    minibatch_stddev)
+from ..ops import packed as pk
 from .configs import DiscriminatorConfig
 
 _GAIN = math.sqrt(2)
@@ -37,14 +38,34 @@ def discriminator_block_init(key, cfg: DiscriminatorConfig, in_ch: int,
 
 
 def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
-                              x: jax.Array) -> jax.Array:
-    """conv0 -> act -> blur -> conv1_down -> act (Blocks.py:137-146)."""
+                              x: jax.Array,
+                              res_log2: int = 0) -> jax.Array:
+    """conv0 -> act -> blur -> conv1_down -> act (Blocks.py:137-146).
+
+    With cfg.packed, the wide low-channel stages run space-to-depth packed
+    (x then arrives packed from the from_rgb/previous block); the output is
+    unpacked again once the next stage's channels no longer fit 128 lanes.
+    """
     act = leaky_relu if cfg.nonlinearity == "lrelu" else jax.nn.relu
+    blur_k = make_blur_kernel(cfg.blur_filter or (1, 2, 1))
+    packed = res_log2 > 0 and cfg.packed_res(res_log2)
+    if packed:
+        emit_packed = cfg.packed_res(res_log2 - 1)
+        x = conv2d_apply(params["conv0"], x, gain=_GAIN,
+                         use_wscale=cfg.use_wscale,
+                         in_packed=True, out_packed=True)
+        x = act(x)
+        x = pk.blur_packed(x, blur_k)
+        x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
+                         use_wscale=cfg.use_wscale, downscale=True,
+                         in_packed=True, out_packed=True)
+        x = act(x)
+        return x if emit_packed else pk.depth_to_space(x)
     x = conv2d_apply(params["conv0"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
     x = act(x)
     # unlike the generator, the reference D *always* blurs: BlurLayer(None)
     # falls back to [1,2,1] (Blocks.py:143 + CustomLayers.py:254-255)
-    x = blur2d(x, make_blur_kernel(cfg.blur_filter or (1, 2, 1)))
+    x = blur2d(x, blur_k)
     x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                      use_wscale=cfg.use_wscale, downscale=True)
     return act(x)
@@ -126,6 +147,18 @@ def _concat_label_planes(params: dict, emb_idx: int, images: jax.Array,
     return jnp.concatenate([images, emb.astype(images.dtype)], axis=-1)
 
 
+def _from_rgb(cfg: DiscriminatorConfig, params: dict, idx: int,
+              images: jax.Array, packed: bool) -> jax.Array:
+    """1x1 from_rgb conv; with packed=True the image is space-to-depth'd and
+    the conv runs (and returns) in the packed domain."""
+    if packed:
+        return conv2d_apply(params["from_rgb"][idx], pk.space_to_depth(images),
+                            gain=_GAIN, use_wscale=cfg.use_wscale,
+                            in_packed=True, out_packed=True)
+    return conv2d_apply(params["from_rgb"][idx], images, gain=_GAIN,
+                        use_wscale=cfg.use_wscale)
+
+
 def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
                         images: jax.Array, depth: int, alpha=1.0,
                         labels: Optional[jax.Array] = None) -> jax.Array:
@@ -133,38 +166,42 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
     assert depth < cfg.depth, "Requested output depth cannot be produced"
     if cfg.conditional:
         assert labels is not None, "Conditional discriminator requires labels"
+    rlog2 = cfg.resolution_log2
 
     if cfg.structure == "fixed":
         if cfg.conditional:
             images = _concat_label_planes(params, 0, images, labels)
-        x = conv2d_apply(params["from_rgb"][0], images, gain=_GAIN,
-                         use_wscale=cfg.use_wscale)
-        for block in params["blocks"]:
-            x = discriminator_block_apply(cfg, block, x)
+        x = _from_rgb(cfg, params, 0, images, cfg.packed_res(rlog2))
+        for bi, block in enumerate(params["blocks"]):
+            x = discriminator_block_apply(cfg, block, x, res_log2=rlog2 - bi)
         return discriminator_top_apply(cfg, params["final_block"], x)
 
     if cfg.structure != "linear":
         raise KeyError(f"Unknown structure: {cfg.structure}")
 
     if depth > 0:
+        in_log2 = depth + 2
         if cfg.conditional:
             images = _concat_label_planes(params, cfg.depth - depth - 1,
                                           images, labels)
-        residual = conv2d_apply(params["from_rgb"][cfg.depth - depth],
-                                avg_pool2d(images, 2), gain=_GAIN,
-                                use_wscale=cfg.use_wscale)
+        # the blend (and the block chain below it) lives at res/2, so the
+        # residual from_rgb packs iff the next stage down runs packed
+        residual = _from_rgb(cfg, params, cfg.depth - depth,
+                             avg_pool2d(images, 2),
+                             cfg.packed_res(in_log2 - 1))
         straight = discriminator_block_apply(
             cfg, params["blocks"][cfg.depth - depth - 1],
-            conv2d_apply(params["from_rgb"][cfg.depth - depth - 1], images,
-                         gain=_GAIN, use_wscale=cfg.use_wscale))
+            _from_rgb(cfg, params, cfg.depth - depth - 1, images,
+                      cfg.packed_res(in_log2)),
+            res_log2=in_log2)
         # blend in the activation dtype (alpha is a precise f32 scalar;
         # without the cast it would promote the whole D trunk under bf16)
         x = (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)
         for i in range(cfg.depth - depth, len(params["blocks"])):
-            x = discriminator_block_apply(cfg, params["blocks"][i], x)
+            x = discriminator_block_apply(cfg, params["blocks"][i], x,
+                                          res_log2=rlog2 - i)
     else:
         if cfg.conditional:
             images = _concat_label_planes(params, -1, images, labels)
-        x = conv2d_apply(params["from_rgb"][-1], images, gain=_GAIN,
-                         use_wscale=cfg.use_wscale)
+        x = _from_rgb(cfg, params, -1, images, False)
     return discriminator_top_apply(cfg, params["final_block"], x)

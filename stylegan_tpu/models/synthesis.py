@@ -23,6 +23,7 @@ from ..ops import (add_noise, conv2d_apply, conv2d_init, instance_norm,
                    leaky_relu, linear_apply, linear_init, make_blur_kernel,
                    pixel_norm, style_modulate, upscale2d)
 from ..ops import fused as fused_ops
+from ..ops import packed as pk
 from .configs import SynthesisConfig
 
 _GAIN = math.sqrt(2)
@@ -45,12 +46,28 @@ def epilogue_init(key, cfg: SynthesisConfig, channels: int, dtype=jnp.float32) -
 
 
 def epilogue_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
-                   dlatent: Optional[jax.Array], noise: Optional[jax.Array]) -> jax.Array:
-    """Post-conv chain (reference LayerEpilogue, CustomLayers.py:219-248)."""
+                   dlatent: Optional[jax.Array], noise: Optional[jax.Array],
+                   packed: bool = False) -> jax.Array:
+    """Post-conv chain (reference LayerEpilogue, CustomLayers.py:219-248).
+
+    packed=True runs the same chain in the space-to-depth domain (x and noise
+    arrive packed; per-channel quantities expand to the packed lanes)."""
     style = None
     if cfg.use_styles:
         style = linear_apply(params["style_mod"]["lin"], dlatent, gain=1.0,
                              use_wscale=cfg.use_wscale)
+
+    if packed:
+        if cfg.use_noise:
+            x = pk.add_noise_packed(x, params["noise"]["weight"], noise)
+        x = leaky_relu(x) if cfg.nonlinearity == "lrelu" else jax.nn.relu(x)
+        if cfg.use_pixel_norm:
+            x = pk.pixel_norm_packed(x)
+        if cfg.use_instance_norm:
+            x = pk.instance_norm_packed(x)
+        if cfg.use_styles:
+            x = pk.style_modulate_packed(x, style)
+        return x
 
     if (fused_ops.use_fused_epilogue() and cfg.use_noise and not
             cfg.use_pixel_norm and cfg.use_instance_norm and cfg.use_styles
@@ -75,13 +92,20 @@ def _make_noise(rng, layer_idx: int, batch: int, res: int, dtype) -> jax.Array:
     return jax.random.normal(key, (batch, res, res, 1), dtype)
 
 
-def _layer_noise(cfg, noises, rng, layer_idx, batch, res, dtype):
+def _layer_noise(cfg, noises, rng, layer_idx, batch, res, dtype,
+                 packed: bool = False):
+    """Per-layer (B, res, res, 1) noise map, space-to-depth'd when the layer
+    runs packed.  Draws are identical between packed/unpacked execution (the
+    same full-res map is generated, then repacked), so the two domains
+    produce the same samples from the same key."""
     if not cfg.use_noise:
         return None
     if noises is not None:
-        return noises[layer_idx]
-    assert rng is not None, "synthesis needs an rng key when use_noise=True"
-    return _make_noise(rng, layer_idx, batch, res, dtype)
+        n = noises[layer_idx]
+    else:
+        assert rng is not None, "synthesis needs an rng key when use_noise=True"
+        n = _make_noise(rng, layer_idx, batch, res, dtype)
+    return pk.space_to_depth(n) if packed else n
 
 
 # --------------------------------------------------------------------------
@@ -145,21 +169,31 @@ def synthesis_block_init(key, cfg: SynthesisConfig, in_ch: int, out_ch: int,
 
 def synthesis_block_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
                           dlatents: jax.Array, block_idx: int,
-                          rng, noises) -> jax.Array:
-    """block_idx: 0-based index into blocks (resolution 2^(block_idx+3))."""
+                          rng, noises, in_packed: bool = False) -> jax.Array:
+    """block_idx: 0-based index into blocks (resolution 2^(block_idx+3)).
+
+    When cfg.packed_block(block_idx), the whole stage executes in the
+    space-to-depth domain and the OUTPUT is returned packed at (res/2)^2 x 4C
+    (in_packed says whether x already arrives packed from the prior stage)."""
     batch = x.shape[0]
-    res = x.shape[1] * 2
+    res = 2 ** (block_idx + 3)
     dtype = x.dtype
     blur = (make_blur_kernel(cfg.blur_filter) if cfg.blur_filter else None)
     layer0 = 2 * (block_idx + 1)
+    packed = cfg.packed_block(block_idx)
+    if in_packed and not packed:
+        x = pk.depth_to_space(x)
+        in_packed = False
 
     x = conv2d_apply(params["conv0_up"], x, gain=_GAIN,
-                     use_wscale=cfg.use_wscale, upscale=True, blur_kernel=blur)
-    n0 = _layer_noise(cfg, noises, rng, layer0, batch, res, dtype)
-    x = epilogue_apply(cfg, params["epi1"], x, dlatents[:, 0], n0)
-    x = conv2d_apply(params["conv1"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
-    n1 = _layer_noise(cfg, noises, rng, layer0 + 1, batch, res, dtype)
-    x = epilogue_apply(cfg, params["epi2"], x, dlatents[:, 1], n1)
+                     use_wscale=cfg.use_wscale, upscale=True, blur_kernel=blur,
+                     in_packed=in_packed, out_packed=packed)
+    n0 = _layer_noise(cfg, noises, rng, layer0, batch, res, dtype, packed)
+    x = epilogue_apply(cfg, params["epi1"], x, dlatents[:, 0], n0, packed)
+    x = conv2d_apply(params["conv1"], x, gain=_GAIN, use_wscale=cfg.use_wscale,
+                     in_packed=packed, out_packed=packed)
+    n1 = _layer_noise(cfg, noises, rng, layer0 + 1, batch, res, dtype, packed)
+    x = epilogue_apply(cfg, params["epi2"], x, dlatents[:, 1], n1, packed)
     return x
 
 
@@ -185,9 +219,11 @@ def synthesis_init(key, cfg: SynthesisConfig, dtype=jnp.float32) -> dict:
     return params
 
 
-def _to_rgb(cfg: SynthesisConfig, params: dict, idx: int, x: jax.Array) -> jax.Array:
+def _to_rgb(cfg: SynthesisConfig, params: dict, idx: int, x: jax.Array,
+            packed: bool = False) -> jax.Array:
     return conv2d_apply(params["to_rgb"][idx], x, gain=1.0,
-                        use_wscale=cfg.use_wscale)
+                        use_wscale=cfg.use_wscale,
+                        in_packed=packed, out_packed=packed)
 
 
 def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
@@ -196,18 +232,26 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
     """dlatents: (B, num_layers, D) -> images (B, H, W, C) in [-1, 1]-ish.
 
     `depth`/`structure` are static (each depth compiles separately); `alpha`
-    is traced.  Mirrors reference GAN.py:175-208.
+    is traced.  Mirrors reference GAN.py:175-208.  With cfg.packed, the
+    low-channel stages run space-to-depth packed end-to-end (including the
+    to_rgb convs and the fade-in blend); the single depth_to_space at the end
+    restores the image layout.
     """
     assert depth < cfg.depth, "Requested output depth cannot be produced"
 
     x = input_block_apply(cfg, params["init_block"], dlatents[:, 0:2], rng, noises)
 
     if cfg.structure == "fixed":
-        for i in range(len(params["blocks"])):
+        n_blocks = len(params["blocks"])
+        for i in range(n_blocks):
             x = synthesis_block_apply(cfg, params["blocks"][i], x,
                                       dlatents[:, 2 * (i + 1):2 * (i + 2)],
-                                      i, rng, noises)
-        return _to_rgb(cfg, params, len(params["to_rgb"]) - 1, x)
+                                      i, rng, noises,
+                                      in_packed=(i > 0 and
+                                                 cfg.packed_block(i - 1)))
+        packed = n_blocks > 0 and cfg.packed_block(n_blocks - 1)
+        out = _to_rgb(cfg, params, len(params["to_rgb"]) - 1, x, packed)
+        return pk.depth_to_space(out) if packed else out
 
     if cfg.structure != "linear":
         raise KeyError(f"Unknown structure: {cfg.structure}")
@@ -218,15 +262,25 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
     for i in range(depth - 1):
         x = synthesis_block_apply(cfg, params["blocks"][i], x,
                                   dlatents[:, 2 * (i + 1):2 * (i + 2)],
-                                  i, rng, noises)
+                                  i, rng, noises,
+                                  in_packed=(i > 0 and cfg.packed_block(i - 1)))
     # reference computes to_rgb(upscale(x)) (GAN.py:199); a 1x1 conv commutes
     # bit-exactly with nearest upsampling, and conv-first avoids materializing
     # the C-channel map at 2x resolution (4x fewer conv FLOPs + ~C/3 less HBM)
-    residual = upscale2d(_to_rgb(cfg, params, depth - 1, x))
+    prev_packed = depth - 1 > 0 and cfg.packed_block(depth - 2)
+    out_packed = cfg.packed_block(depth - 1)
+    residual = _to_rgb(cfg, params, depth - 1, x, prev_packed)
+    if prev_packed:
+        residual = pk.depth_to_space(residual)
+    # nearest 2x upsample of the (res/2) rgb; straight into the packed domain
+    # when the final stage is packed (a pure channel-repeat)
+    residual = (pk.upscale_rgb_packed(residual) if out_packed
+                else upscale2d(residual))
     x = synthesis_block_apply(cfg, params["blocks"][depth - 1], x,
                               dlatents[:, 2 * depth:2 * (depth + 1)],
-                              depth - 1, rng, noises)
-    straight = _to_rgb(cfg, params, depth, x)
+                              depth - 1, rng, noises, in_packed=prev_packed)
+    straight = _to_rgb(cfg, params, depth, x, out_packed)
     # alpha arrives as an f32 scalar (precise fade schedule); cast the blend
     # back to the activation dtype so a bf16 pipeline stays bf16 downstream
-    return (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)
+    out = (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)
+    return pk.depth_to_space(out) if out_packed else out

@@ -115,7 +115,8 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
                  use_wscale: bool = False, lrmul: float = 1.0,
                  upscale: bool = False, downscale: bool = False,
                  blur_kernel: Optional[jax.Array] = None,
-                 fused_resample_threshold: int = 128) -> jax.Array:
+                 fused_resample_threshold: int = 128,
+                 in_packed: bool = False, out_packed: bool = False) -> jax.Array:
     """Equalized conv with the reference's optional fused up/down resampling.
 
     Dispatch mirrors CustomLayers.py:137-180:
@@ -125,12 +126,21 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
         4-tap averaged kernel; else conv then 2x2 avgpool.
       * blur_kernel (G path) is applied between conv and bias add; the D's
         non-fused downscale likewise sits between conv and bias add.
+
+    in_packed/out_packed select the space-to-depth packed execution domain
+    (ops/packed.py) for the wide low-channel stages — same math, 2-3x faster
+    on the MXU.  Packed resampling requires the fused path (res >= threshold,
+    guaranteed by the callers' packing rule).
     """
     w = params["weight"] * _conv_w_mul(params, gain, use_wscale, lrmul)
     bias = params.get("bias")
     if bias is not None:
         # cast down so an f32 bias can't promote a bf16 activation pipeline
         bias = (bias * lrmul).astype(x.dtype)
+
+    if in_packed or out_packed:
+        return _conv2d_apply_packed(x, w, bias, upscale, downscale,
+                                    blur_kernel, in_packed, out_packed)
 
     h, wdt = x.shape[1], x.shape[2]
     intermediate = None
@@ -164,6 +174,28 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
     if bias is not None:
         x = x + bias
     return x
+
+
+def _conv2d_apply_packed(x, w, bias, upscale, downscale, blur_kernel,
+                         in_packed, out_packed):
+    """Packed-domain dispatch: mirrors the fused-path semantics exactly
+    (conv -> [blur] -> bias), with activations space-to-depth packed."""
+    from . import packed as pk
+
+    if upscale:
+        assert out_packed
+        y = pk.conv_packed_up(x, w, in_packed=in_packed)
+        if blur_kernel is not None:
+            y = pk.blur_packed(y, blur_kernel)
+    elif downscale:
+        assert in_packed and out_packed and blur_kernel is None
+        y = pk.conv_packed_down(x, w)
+    else:
+        assert in_packed and out_packed and blur_kernel is None
+        y = pk.conv_packed_same(x, w)
+    if bias is not None:
+        y = y + pk.repeat_channel(bias)
+    return y
 
 
 def _fused_upscale_conv(x: jax.Array, w: jax.Array) -> jax.Array:

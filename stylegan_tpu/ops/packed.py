@@ -1,0 +1,343 @@
+"""Space-to-depth "packed" convolutions for the wide, shallow stages.
+
+At the >=512^2 stages of FFHQ-1024 StyleGAN the channel count falls to 32/16,
+so a 3x3 conv's MXU contraction dimension uses 32/16 of the systolic array's
+128 lanes — measured 5.4 TFLOP/s at 1024^2x16 on v5e vs ~60-117 TFLOP/s for
+the same FLOPs at C>=64.  The fix is layout, not kernels: keep those stages'
+activations space-to-depth packed, (B, H, W, C) -> (B, H/2, W/2, 4C), and run
+every conv of the stage directly in the packed domain with an equivalent
+zero-structured kernel.  The packed 3x3 does 4x the MACs (the structured
+kernel is 3/4 zeros) but contracts over 4C lanes, which nets out 1.9-2.6x
+faster at C<=32 — and the 1x1 to_rgb / fused up-/down-scale convs repack with
+*no* MAC waste.  Measured (amortized, v5e): conv3x3 1024^2x16 7.0ms ->
+2.7ms packed; 512^2x32 2.6ms -> 1.3ms; to_rgb pair 5.7ms -> 2.2ms.
+
+Lane order is channel-major: packed[..., c*4 + (di*2 + dj)] holds original
+pixel (2i+di, 2j+dj) channel c.  Per-pixel quantities (noise) then tile as a
+whole (4,)-block repeated C times, and per-channel quantities (bias, noise
+weight, styles, norm statistics) expand with jnp.repeat(v, 4) — both O(C)
+host-side-shaped ops that XLA folds into the consuming fusion.
+
+All packers take the *reference-layout* HWIO kernels (after the w_mul
+equalized-LR fold), so parameters, checkpoints and converters are untouched;
+packing is a pure execution-layout choice.  Everything here is differentiable
+— the VJP of a packed conv is a packed-shape conv, so the training step
+inherits the same MXU win on the backward pass.
+
+Reference semantics being reproduced: 3x3 SAME convs (CustomLayers.py:107-
+135), the fused 4-tap up/downscale convs (CustomLayers.py:142-165), and the
+depthwise blur (CustomLayers.py:251-276), which folds into the up/down conv
+kernels as a spatial pre-/post-composition instead of a separate full-res
+pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .precision import get_precision
+
+DIMS = ("NHWC", "HWIO", "NHWC")
+P = 2          # pack factor (2x2 pixels -> channels)
+PP = P * P
+
+
+# --------------------------------------------------------------------------
+# Layout transforms
+# --------------------------------------------------------------------------
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), lanes ordered c*4 + (di*2+dj)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // P, P, w // P, P, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)            # (b, h', w', c, di, dj)
+    return x.reshape(b, h // P, w // P, c * PP)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """(B, H', W', 4C) -> (B, 2H', 2W', C) — inverse of space_to_depth."""
+    b, hp, wp, cpp = x.shape
+    c = cpp // PP
+    x = x.reshape(b, hp, wp, c, P, P)
+    x = x.transpose(0, 1, 4, 2, 5, 3)            # (b, h', di, w', dj, c)
+    return x.reshape(b, hp * P, wp * P, c)
+
+
+def repeat_channel(v: jax.Array) -> jax.Array:
+    """Per-channel vector (C,) -> packed lanes (4C,): each entry 4x."""
+    return jnp.repeat(v, PP, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Kernel packers.  All build (kh', kw', 4Ci|Ci, 4Co) HWIO kernels from the
+# reference 3x3/1x1 HWIO kernel w (with w_mul already applied).  The spatial
+# index math is enumerated per (output phase d, original tap t) — <=36 cases
+# — with .at[].set on a zeros kernel; XLA folds the construction into a small
+# constant subgraph next to the conv.
+# --------------------------------------------------------------------------
+
+def pack_same_kernel(w: jax.Array) -> jax.Array:
+    """Same-resolution conv (k odd), packed input AND output.
+
+    For output phase d and original tap offset t (o = 2i+d reads n = o+t):
+    packed input row q = n>>1 with phase n&1, so kernel tap (q-i) spans
+    {-1,0,1} for k=3 (kernel 3x3, 3/4 zeros) and {0} for k=1 (phase-diagonal
+    1x1).
+    """
+    k, _, ci, co = w.shape
+    assert k % 2 == 1
+    r = k // 2
+    kp = 1 if k == 1 else 3
+    pad = kp // 2
+    kern = jnp.zeros((kp, kp, ci, P, P, co, P, P), w.dtype)
+    for di in range(P):
+        for ti in range(-r, r + 1):
+            ei = di + ti
+            qi, pin_i = ei >> 1, ei & 1
+            for dj in range(P):
+                for tj in range(-r, r + 1):
+                    ej = dj + tj
+                    qj, pin_j = ej >> 1, ej & 1
+                    kern = kern.at[qi + pad, qj + pad, :, pin_i, pin_j,
+                                   :, di, dj].set(w[ti + r, tj + r])
+    return kern.reshape(kp, kp, ci * PP, co * PP)
+
+
+def _upscale_taps(w: jax.Array) -> tuple:
+    """Full original-domain kernel of the fused upscale conv:
+    out[o] = sum_t w4f[t] xd[o + t - 2] on the 2x-dilated input
+    (ops/linear.py:_fused_upscale_conv).  Returns ((4,4,Ci,Co), pad).
+
+    The depthwise blur that follows in the G path is NOT folded in: the
+    reference blurs with its own zero padding as a separate pass
+    (CustomLayers.py:251-276), and composing it into the conv kernel would
+    change the 2-pixel border — use blur_packed() after this conv instead.
+    """
+    wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    w4 = (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1])
+    return w4[::-1, ::-1], 2                                # (4,4,Ci,Co)
+
+
+def pack_up_kernel(w: jax.Array) -> tuple:
+    """Fused 2x-upscale conv, UNPACKED half-res input -> packed output.
+
+    Output phase d reads dilated taps with e = d+t-pad even, i.e. input rows
+    i + e/2.  Returns (kernel (kp,kp,Ci,4Co), padding per dim).
+    """
+    full, padf = _upscale_taps(w)
+    l, _, ci, co = full.shape
+    offs = sorted({(d + t - padf) // 2 for d in range(P) for t in range(l)
+                   if (d + t - padf) % 2 == 0})
+    kp = offs[-1] - offs[0] + 1
+    lo = -offs[0]
+    kern = jnp.zeros((kp, kp, ci, co, P, P), w.dtype)
+    for di in range(P):
+        for ti in range(l):
+            ei = di + ti - padf
+            if ei % 2:
+                continue
+            for dj in range(P):
+                for tj in range(l):
+                    ej = dj + tj - padf
+                    if ej % 2:
+                        continue
+                    kern = kern.at[ei // 2 + lo, ej // 2 + lo, :, :,
+                                   di, dj].add(full[ti, tj])
+    kern = kern.reshape(kp, kp, ci, co * PP)
+    return kern, (lo, kp - 1 - lo)
+
+
+def pack_up_kernel_packed_in(w: jax.Array) -> tuple:
+    """Fused 2x-upscale conv, PACKED quarter-grid input -> packed output.
+
+    The packed output grid is 2x the packed input grid, so this is an
+    lhs-dilated conv in the packed domain; each original tap installs at two
+    kernel positions (one per input phase) and the dilation zeros select the
+    parity-correct one at run time.  Returns (kernel, padding).
+    """
+    full, padf = _upscale_taps(w)
+    l, _, ci, co = full.shape
+    # j = e/2 - pin + pad_k for e = d+t-padf even, pin in {0,1}
+    js = sorted({(d + t - padf) // 2 - pin
+                 for d in range(P) for t in range(l) for pin in range(P)
+                 if (d + t - padf) % 2 == 0})
+    kp = js[-1] - js[0] + 1
+    lo = -js[0]
+    kern = jnp.zeros((kp, kp, ci, P, P, co, P, P), w.dtype)
+    for di in range(P):
+        for ti in range(l):
+            ei = di + ti - padf
+            if ei % 2:
+                continue
+            for dj in range(P):
+                for tj in range(l):
+                    ej = dj + tj - padf
+                    if ej % 2:
+                        continue
+                    for pin_i in range(P):
+                        for pin_j in range(P):
+                            kern = kern.at[
+                                ei // 2 - pin_i + lo, ej // 2 - pin_j + lo,
+                                :, pin_i, pin_j, :, di, dj].add(full[ti, tj])
+    kern = kern.reshape(kp, kp, ci * PP, co * PP)
+    # the 2x-dilated input has length 2*(G/2)-1 = G-1, so the right pad is
+    # kp - lo (not the same-res kp-1-lo) to make the output exactly G rows
+    return kern, (lo, kp - lo)
+
+
+def pack_down_kernel(w: jax.Array, gain: float = 0.25) -> tuple:
+    """Fused 2x-downscale conv (stride-2, 4-tap averaged kernel,
+    ops/linear.py:_fused_downscale_conv), packed input -> packed output.
+
+    z[o'] = sum_t wd[t] x[2o' + t - 1]; packed out row o' = 2i+d reads
+    original n = 4i + 2d + t - 1 -> packed input row 2i + (n>>1 - 2i), a
+    stride-2 conv in the packed domain.  The D's preceding depthwise blur is
+    NOT composed in (boundary semantics — see _upscale_taps); apply
+    blur_packed() before.  Returns (kernel, padding).
+    """
+    wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    wd = (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1]) * gain
+    padd = 1
+    l, _, ci, co = wd.shape
+    gs = sorted({(2 * d + t - padd) >> 1 for d in range(P) for t in range(l)})
+    kp = gs[-1] - gs[0] + 1
+    lo = -gs[0]
+    kern = jnp.zeros((kp, kp, ci, P, P, co, P, P), w.dtype)
+    for di in range(P):
+        for ti in range(l):
+            ni = 2 * di + ti - padd
+            gi, pin_i = ni >> 1, ni & 1
+            for dj in range(P):
+                for tj in range(l):
+                    nj = 2 * dj + tj - padd
+                    gj, pin_j = nj >> 1, nj & 1
+                    kern = kern.at[gi + lo, gj + lo, :, pin_i, pin_j,
+                                   :, di, dj].add(wd[ti, tj])
+    kern = kern.reshape(kp, kp, ci * PP, co * PP)
+    return kern, (lo, kp - 1 - lo)
+
+
+# --------------------------------------------------------------------------
+# Packed conv applications
+# --------------------------------------------------------------------------
+
+def _accum_dtype(x):
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
+def conv_packed_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Packed-domain SAME conv: x (B,H',W',4Ci), w the reference (k,k,Ci,Co)
+    kernel (w_mul applied)."""
+    kern = pack_same_kernel(w)
+    pad = (kern.shape[0] - 1) // 2
+    return lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=DIMS, precision=get_precision(),
+        preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+
+
+def conv_packed_up(x: jax.Array, w: jax.Array,
+                   in_packed: bool = False) -> jax.Array:
+    """Fused upscale conv producing PACKED output at the new resolution.
+
+    in_packed=False: x is the unpacked (B, H, W, Ci) previous-stage output.
+    in_packed=True:  x is packed (B, H/2, W/2, 4Ci).
+    Output: (B, H, W, 4Co) — i.e. resolution 2H packed by 2.
+    """
+    if in_packed:
+        kern, (plo, phi) = pack_up_kernel_packed_in(w)
+        return lax.conv_general_dilated(
+            x, kern.astype(x.dtype), (1, 1), [(plo, phi), (plo, phi)],
+            lhs_dilation=(2, 2), dimension_numbers=DIMS,
+            precision=get_precision(),
+            preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+    kern, (plo, phi) = pack_up_kernel(w)
+    return lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(plo, phi), (plo, phi)],
+        dimension_numbers=DIMS, precision=get_precision(),
+        preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+
+
+def conv_packed_down(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Fused downscale conv, packed (B,H',W',4Ci) -> packed (B,H'/2,W'/2,4Co)
+    at the halved resolution (apply blur_packed first for the D path)."""
+    kern, (plo, phi) = pack_down_kernel(w)
+    return lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (2, 2), [(plo, phi), (plo, phi)],
+        dimension_numbers=DIMS, precision=get_precision(),
+        preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+
+
+def blur_packed(x: jax.Array, kernel2d: jax.Array) -> jax.Array:
+    """Depthwise blur in the packed domain (== blur2d through d2s/s2d).
+
+    Expressed as a DENSE packed conv with a channel-diagonal kernel: grouped
+    convs with 4-lane groups lower pathologically on TPU (measured 17ms at
+    the 1024-stage vs 2.7ms for this dense form — the diagonal's zero MACs
+    are cheaper than the grouped lowering), and the unpacked depthwise blur
+    costs 4.4ms at 1024^2x16 besides.
+    """
+    c = x.shape[-1] // PP
+    eye = jnp.eye(c, dtype=kernel2d.dtype)
+    w = kernel2d[:, :, None, None] * eye[None, None]      # (k,k,C,C) diag
+    return conv_packed_same(x, w)
+
+
+# --------------------------------------------------------------------------
+# Packed element-wise / normalization ops (epilogue building blocks)
+# --------------------------------------------------------------------------
+
+def add_noise_packed(x: jax.Array, noise_weight: jax.Array,
+                     noise: jax.Array) -> jax.Array:
+    """x: (B,H',W',4C); noise: (B,H',W',4) per original pixel
+    (= space_to_depth of the reference's (B,H,W,1) noise)."""
+    c = x.shape[-1] // PP
+    n = jnp.tile(noise.astype(x.dtype), (1, 1, 1, c))
+    return x + repeat_channel(noise_weight.astype(x.dtype)) * n
+
+
+def instance_norm_packed(x: jax.Array, epsilon: float = 1e-5) -> jax.Array:
+    """Per-(sample, channel) spatial normalization in the packed domain:
+    statistics reduce over (H', W', phase) with lanes viewed as (C, 4)."""
+    b, hp, wp, cpp = x.shape
+    c = cpp // PP
+    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    g = xf.reshape(b, hp, wp, c, PP)
+    mean = jnp.mean(g, axis=(1, 2, 4))                      # (B, C)
+    var = jnp.mean(jnp.square(g - mean[:, None, None, :, None]),
+                   axis=(1, 2, 4))
+    scale = lax.rsqrt(var + epsilon)
+    mean_p = repeat_channel(mean)[:, None, None, :]
+    scale_p = repeat_channel(scale)[:, None, None, :]
+    return ((xf - mean_p) * scale_p).astype(x.dtype)
+
+
+def pixel_norm_packed(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
+    """Per-original-pixel channel normalization: lanes grouped (C, phase),
+    reduce over C per phase."""
+    b, hp, wp, cpp = x.shape
+    c = cpp // PP
+    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    g = xf.reshape(b, hp, wp, c, PP)
+    ms = jnp.mean(jnp.square(g), axis=3, keepdims=True)     # (B,H',W',1,4)
+    out = (g * lax.rsqrt(ms + epsilon)).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def style_modulate_packed(x: jax.Array, style: jax.Array) -> jax.Array:
+    """AdaIN in the packed domain; style: (B, 2C) as [scales, biases]."""
+    cpp = x.shape[-1]
+    c = cpp // PP
+    s = style.reshape(style.shape[0], 2, c)
+    scale = repeat_channel(s[:, 0])[:, None, None, :].astype(x.dtype)
+    bias = repeat_channel(s[:, 1])[:, None, None, :].astype(x.dtype)
+    return x * (scale + 1.0) + bias
+
+
+def upscale_rgb_packed(rgb: jax.Array) -> jax.Array:
+    """Nearest 2x upsample of an UNPACKED (B,H,W,C) image straight into the
+    packed domain at 2H: every phase of packed pixel (i,j) equals rgb[i,j],
+    i.e. a channel-repeat (used for the linear-structure residual path)."""
+    return jnp.repeat(rgb, PP, axis=-1)

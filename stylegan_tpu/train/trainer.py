@@ -40,7 +40,7 @@ class StyleGAN:
                  n_classes=0, loss="relativistic-hinge", drift=0.001,
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
-                 activations_dtype="float32"):
+                 activations_dtype="float32", packed_layout=False):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
         divisibility), or None.  max_devices: adaptive data parallelism —
         each step uses the largest mesh (<= max_devices) that its global
@@ -80,6 +80,14 @@ class StyleGAN:
         self.dis_cfg = discriminator_config_from_args(
             structure, resolution, num_channels, conditional, n_classes,
             d_args)
+        if packed_layout:
+            # space-to-depth packed execution for the low-channel stages
+            # (ops/packed.py) — a layout choice, not an architecture change;
+            # params/checkpoints are identical either way
+            from dataclasses import replace
+            self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
+                self.gen_cfg.synthesis, packed=True))
+            self.dis_cfg = replace(self.dis_cfg, packed=True)
 
         key = jax.random.PRNGKey(seed)
         k_g, k_d, self._key = jax.random.split(key, 3)

@@ -90,6 +90,12 @@ def main():
         fused_ops.set_fused_epilogue(False)
     elif opt.ops.use_pallas is True:
         fused_ops.set_fused_epilogue(True)
+    # packed (space-to-depth) execution: explicit bool wins; 'auto' follows
+    # the bf16 perf path (f32 default keeps bit-level reference parity)
+    packed = (opt.ops.packed if isinstance(opt.ops.packed, bool)
+              else opt.precision.activations == "bfloat16")
+    if packed:
+        logger.info("packed (space-to-depth) execution for low-channel stages")
 
     from stylegan_tpu.data import make_dataset
     dataset = make_dataset(opt.dataset, conditional=opt.conditional)
@@ -112,7 +118,8 @@ def main():
                          ema_decay=opt.ema_decay,
                          max_devices=max_devices,
                          seed=opt.seed,
-                         activations_dtype=opt.precision.activations)
+                         activations_dtype=opt.precision.activations,
+                         packed_layout=packed)
 
     start_depth = args.start_depth
     if args.resume is not None:

@@ -79,6 +79,8 @@ def main(args):
     opt = get_default_cfg()
     opt.merge_from_file(args.config)
     opt.freeze()
+    from stylegan_tpu.config import apply_runtime_knobs
+    apply_runtime_knobs(opt)  # precision / Pallas / packed-layout knobs
 
     import jax
     from stylegan_tpu.convert import load_generator_file

@@ -235,5 +235,33 @@ def get_default_cfg() -> ConfigNode:
     return c
 
 
+def resolve_packed(cfg) -> bool:
+    """Resolve the `ops.packed` knob: an explicit bool wins; 'auto' enables
+    packed execution with bf16 activations (the perf path) and keeps the f32
+    default bit-identical to the reference parity path."""
+    try:
+        p = cfg.ops.packed
+        if isinstance(p, bool):
+            return p
+        return cfg.precision.activations == "bfloat16"
+    except AttributeError:
+        return False
+
+
+def apply_runtime_knobs(cfg) -> bool:
+    """Apply the process-wide TPU-native knobs (precision, Pallas epilogue)
+    from a merged config and return the packed-layout flag.  Shared by
+    train.py and every generation/eval CLI."""
+    from .ops import fused as fused_ops
+    from .ops.precision import set_precision
+    if cfg.precision.activations == "bfloat16":
+        set_precision("default")  # bf16 MXU passes for the perf path
+    if cfg.ops.use_pallas is True:
+        fused_ops.set_fused_epilogue(True)
+    elif cfg.ops.use_pallas != "auto":
+        fused_ops.set_fused_epilogue(False)
+    return resolve_packed(cfg)
+
+
 # Module-level default instance mirroring `from config import cfg` usage.
 cfg = get_default_cfg()

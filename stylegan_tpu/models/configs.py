@@ -222,14 +222,25 @@ def discriminator_config_from_args(structure, resolution, num_channels,
 
 
 def generator_config_from_cfg(cfg) -> GeneratorConfig:
-    """Build a GeneratorConfig from a full yacs-style cfg."""
-    return generator_config_from_args(
+    """Build a GeneratorConfig from a full yacs-style cfg (including the
+    ops.packed execution-layout knob)."""
+    from ..config import resolve_packed
+    from dataclasses import replace
+    g = generator_config_from_args(
         cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
         cfg.model.gen.latent_size, cfg.conditional, cfg.n_classes,
         cfg.model.gen)
+    if resolve_packed(cfg):
+        g = replace(g, synthesis=replace(g.synthesis, packed=True))
+    return g
 
 
 def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
-    return discriminator_config_from_args(
+    from ..config import resolve_packed
+    from dataclasses import replace
+    d = discriminator_config_from_args(
         cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
         cfg.conditional, cfg.n_classes, cfg.model.dis)
+    if resolve_packed(cfg):
+        d = replace(d, packed=True)
+    return d

@@ -178,6 +178,81 @@ def test_packed_discriminator_matches_unpacked(structure, depth, alpha):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_packed_train_step_on_mesh():
+    """The packed execution domain composes with shard_map data parallelism:
+    a full fused train step with packed G and D runs on an 8-device mesh and
+    matches the packed single-device step (replicated batch, shared rng)."""
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh
+
+    from stylegan_tpu.models import (DiscriminatorConfig, GeneratorConfig,
+                                     MappingConfig, SynthesisConfig,
+                                     discriminator_init, generator_init)
+    from stylegan_tpu.train import build_train_step, create_train_state
+
+    res = 128
+    gen_cfg = GeneratorConfig(
+        resolution=res, latent_size=32, dlatent_size=32,
+        mapping=MappingConfig(latent_size=32, dlatent_size=32,
+                              mapping_fmaps=32, mapping_layers=2,
+                              dlatent_broadcast=(res.bit_length() - 2) * 2),
+        synthesis=SynthesisConfig(resolution=res, dlatent_size=32,
+                                  fmap_base=256, fmap_max=64,
+                                  blur_filter=(1, 2, 1), structure="linear",
+                                  packed=True))
+    dis_cfg = DiscriminatorConfig(resolution=res, fmap_base=256, fmap_max=64,
+                                  blur_filter=(1, 2, 1), structure="linear",
+                                  packed=True)
+    assert gen_cfg.synthesis.packed_block(4) and dis_cfg.packed_res(7)
+    depth = dis_cfg.depth - 1
+
+    g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
+    state = create_train_state(generator_init(jax.random.PRNGKey(0), gen_cfg),
+                               discriminator_init(jax.random.PRNGKey(1), dis_cfg),
+                               g_tx, d_tx, use_ema=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    per = 4
+    reals1 = np.random.RandomState(2).randn(per, res, res, 3).astype(np.float32)
+    z1 = np.random.RandomState(3).randn(per, 32).astype(np.float32)
+    key, alpha = jax.random.PRNGKey(4), jnp.float32(0.7)
+
+    step1 = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                             donate=False)
+    stepN = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                             mesh=mesh, donate=False, shard_rng=False)
+    s1, m1 = step1(state, jnp.asarray(reals1), jnp.asarray(z1), key, alpha)
+    sN, mN = stepN(state, jnp.asarray(np.tile(reals1, (8, 1, 1, 1))),
+                   jnp.asarray(np.tile(z1, (8, 1))), key, alpha)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(mN["d_loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(sN.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_packed_cfg_knob_flows_from_yaml(tmp_path):
+    """ops.packed: 'auto' follows bf16 activations; explicit bool wins."""
+    from stylegan_tpu.config import get_default_cfg, resolve_packed
+    from stylegan_tpu.models import (discriminator_config_from_cfg,
+                                     generator_config_from_cfg)
+
+    cfg = get_default_cfg()
+    assert not resolve_packed(cfg)                       # f32 default: off
+    cfg.precision.activations = "bfloat16"
+    assert resolve_packed(cfg)                           # auto follows bf16
+    assert generator_config_from_cfg(cfg).synthesis.packed
+    assert discriminator_config_from_cfg(cfg).packed
+    cfg.ops.packed = False
+    assert not resolve_packed(cfg)                       # explicit off wins
+    assert not generator_config_from_cfg(cfg).synthesis.packed
+    cfg.precision.activations = "float32"
+    cfg.ops.packed = True
+    assert generator_config_from_cfg(cfg).synthesis.packed
+
+
 def test_packed_conv_grads_match():
     """The packed conv must be differentiable with grads matching unpacked."""
     key = jax.random.PRNGKey(9)

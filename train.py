@@ -81,19 +81,10 @@ def main():
                 max_devices, jax.default_backend())
 
     # precision / kernel knobs (stylegan_tpu/config.py TPU-native additions)
-    from stylegan_tpu.ops import fused as fused_ops
-    from stylegan_tpu.ops.precision import set_precision
+    from stylegan_tpu.config import apply_runtime_knobs
+    packed = apply_runtime_knobs(opt)
     if opt.precision.activations == "bfloat16":
-        set_precision("default")  # bf16 MXU passes for the perf path
         logger.info("bf16 activations / default MXU precision")
-    if opt.ops.use_pallas is not True and opt.ops.use_pallas != "auto":
-        fused_ops.set_fused_epilogue(False)
-    elif opt.ops.use_pallas is True:
-        fused_ops.set_fused_epilogue(True)
-    # packed (space-to-depth) execution: explicit bool wins; 'auto' follows
-    # the bf16 perf path (f32 default keeps bit-level reference parity)
-    packed = (opt.ops.packed if isinstance(opt.ops.packed, bool)
-              else opt.precision.activations == "bfloat16")
     if packed:
         logger.info("packed (space-to-depth) execution for low-channel stages")
 

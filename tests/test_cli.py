@@ -227,3 +227,41 @@ def test_eval_metrics_cli_fid(toy_run, tmp_path):
         cwd=REPO, env=_env(), capture_output=True, text=True, timeout=300)
     assert r2.returncode != 0
     assert "inception_weights" in (r2.stderr + r2.stdout)
+
+
+def test_project_cli_roundtrip(toy_run, tmp_path):
+    """project.py inverts an image and the saved w.npy feeds straight back
+    into generate_samples.py --input (beyond-reference feature)."""
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
+    target = os.path.join(os.path.dirname(toy_run["out"]), "data", "0.png")
+    outd = str(tmp_path / "proj")
+    r = _run(["project.py", "--config", toy_run["cfg"],
+              "--generator_file", gen, "--target", target,
+              "--output_dir", outd, "--num_steps", "12"])
+    assert os.path.exists(os.path.join(outd, "w.npy"))
+    assert os.path.exists(os.path.join(outd, "projected.png"))
+    losses = [float(l.rsplit(None, 1)[-1]) for l in r.stdout.splitlines()
+              if l.startswith("step ")]
+    assert losses and np.isfinite(losses[-1])
+    out = str(tmp_path / "reproj.png")
+    _run(["generate_samples.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--input",
+          os.path.join(outd, "w.npy"), "--output", out])
+    assert os.path.exists(out)
+
+
+def test_generate_video_cli(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
+    walk = str(tmp_path / "walk.gif")
+    _run(["generate_video.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--output", walk, "--mode", "walk",
+          "--num_points", "2", "--frames_per_step", "3", "--batch", "3"])
+    trunc = str(tmp_path / "trunc.gif")
+    _run(["generate_video.py", "--config", toy_run["cfg"],
+          "--generator_file", gen, "--output", trunc, "--mode", "truncation",
+          "--num_frames", "4", "--batch", "2"])
+    for path, frames in ((walk, 6), (trunc, 4)):
+        img = Image.open(path)
+        # PIL merges identical consecutive GIF frames (a barely-trained toy
+        # generator can emit near-constant frames), so upper-bound + animated
+        assert 1 < getattr(img, "n_frames", 1) <= frames, path

@@ -93,6 +93,16 @@ def main():
     train_ips = _train_throughput(res=128, batch=16, loss="relativistic-hinge")
     train_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
                                        iters=2)
+    # lazy R1 (r1_interval=16, gamma scaled — same effective regularization):
+    # amortized step cost = (t_r1 + 15 * t_plain) / 16, measured from the
+    # gamma=0 program (no grad-of-grad) + the every-step number above.
+    LAZY_N = 16
+    plain_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
+                                       iters=2, r1_gamma=0.0)
+    lazy_1024_ips = None
+    if train_1024_ips and plain_1024_ips:
+        t_amort = (1.0 / train_1024_ips + (LAZY_N - 1) / plain_1024_ips) / LAZY_N
+        lazy_1024_ips = 1.0 / t_amort
 
     result = {
         "metric": "1024x1024 synthesis throughput (1 chip)",
@@ -103,6 +113,8 @@ def main():
         "train_128_imgs_per_sec": round(train_ips, 3) if train_ips else None,
         "train_1024_imgs_per_sec": (round(train_1024_ips, 3)
                                     if train_1024_ips else None),
+        "train_1024_lazy_r1_imgs_per_sec": (round(lazy_1024_ips, 3)
+                                            if lazy_1024_ips else None),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "baseline_note": ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
@@ -111,11 +123,12 @@ def main():
     print(json.dumps(result))
 
 
-def _train_throughput(res, batch, loss, iters=4):
+def _train_throughput(res, batch, loss, iters=4, r1_gamma=None):
     """Full fused train step (D+G+EMA) images/sec at `res` (BASELINE.md).
 
     res=128/relativistic-hinge is the reference default config; res=1024/
-    logistic adds the R1 grad-of-grad penalty (the expensive path)."""
+    logistic adds the R1 grad-of-grad penalty (the expensive path);
+    r1_gamma=0.0 measures the lazy-R1 off-step program (no grad-of-grad)."""
     import jax
     import jax.numpy as jnp
     from stylegan_tpu.models import (DiscriminatorConfig, discriminator_init,
@@ -133,7 +146,7 @@ def _train_throughput(res, batch, loss, iters=4):
             g_tx, d_tx, use_ema=True)
         depth = dis_cfg.depth - 1
         step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
-                                loss=loss, donate=False)
+                                loss=loss, donate=False, r1_gamma=r1_gamma)
 
         @jax.jit
         def scan_steps(state, key):

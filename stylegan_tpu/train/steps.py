@@ -79,11 +79,19 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                      use_ema: bool = True, ema_decay: float = 0.999,
                      conditional: bool = False, drift: float = 0.001,
                      mesh: Optional[Mesh] = None,
-                     donate: bool = True, shard_rng: bool = True):
+                     donate: bool = True, shard_rng: bool = True,
+                     r1_gamma: Optional[float] = None):
     """Returns step(state, reals, z, key, alpha[, labels]) -> (state, metrics).
 
     reals: (B, R, R, C) at the *final* config resolution (device-side
     progressive downsampling, like the reference); z: (B, latent).
+
+    r1_gamma overrides the logistic loss's R1 coefficient (default 10.0,
+    reference Losses.py:195).  The trainer's lazy-R1 mode uses it to compile
+    a gamma=0 step (no grad-of-grad at all — the penalty's double backward is
+    the dominant cost at high resolution) plus a gamma*interval step applied
+    every `interval` D updates, keeping the same effective regularization
+    (Karras et al. 2020, "lazy regularization").
     """
     # `loss` is a registry name, or a (dis_loss_fn, gen_loss_fn) pair — the
     # counterpart of the reference accepting a GANLoss instance (GAN.py:464)
@@ -92,6 +100,11 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         loss = "custom"
     else:
         dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
+    if r1_gamma is not None:
+        assert loss == "logistic", "r1_gamma only applies to the logistic loss"
+        from functools import partial
+        from ..losses import logistic_dis_loss
+        dis_loss_fn = partial(logistic_dis_loss, r1_gamma=float(r1_gamma))
     total_depth = dis_cfg.depth
     structure = dis_cfg.structure
     axis_name = AXIS if mesh is not None else None

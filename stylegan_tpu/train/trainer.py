@@ -40,7 +40,8 @@ class StyleGAN:
                  n_classes=0, loss="relativistic-hinge", drift=0.001,
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
-                 activations_dtype="float32", packed_layout=False):
+                 activations_dtype="float32", packed_layout=False,
+                 r1_interval=1):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
         divisibility), or None.  max_devices: adaptive data parallelism —
         each step uses the largest mesh (<= max_devices) that its global
@@ -73,6 +74,16 @@ class StyleGAN:
         # drift penalty coefficient; used by wgan/wgan-gp (the reference
         # stores it but never implements those losses — GAN.py:464-470, 517)
         self.drift = drift
+        # lazy R1 (beyond-reference, logistic loss only): apply the R1
+        # penalty every `r1_interval` updates with gamma scaled by the
+        # interval — same effective regularization, but the grad-of-grad
+        # (the dominant 1024^2 step cost) is paid 1/interval of the time.
+        # interval 1 == the reference's every-step R1, bit-for-bit.
+        self.r1_interval = int(r1_interval)
+        if self.r1_interval > 1:
+            assert self.loss_name == "logistic", \
+                "r1_interval > 1 requires the logistic loss"
+        self._update_count = 0
 
         self.gen_cfg = generator_config_from_args(
             structure, resolution, num_channels, latent_size, conditional,
@@ -144,15 +155,23 @@ class StyleGAN:
         self.state = jax.device_put(self.state, target)
         self._last_mesh = mesh
 
-    def _get_step(self, depth: int, mesh):
-        key = (depth, mesh.size if mesh is not None else 1)
+    def _get_step(self, depth: int, mesh, with_r1: bool = True):
+        """Compiled fused step for (depth, mesh size).  Under lazy R1 two
+        programs exist per key: the regularized one (gamma * interval) and a
+        gamma=0 one with no grad-of-grad at all."""
+        lazy = self.r1_interval > 1
+        key = (depth, mesh.size if mesh is not None else 1,
+               with_r1 if lazy else True)
         if key not in self._steps:
+            r1_gamma = None
+            if lazy:
+                r1_gamma = 10.0 * self.r1_interval if with_r1 else 0.0
             self._steps[key] = build_train_step(
                 self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx, depth=depth,
                 loss=self.loss_name, d_repeats=self.d_repeats,
                 use_ema=self.use_ema, ema_decay=self.ema_decay,
                 conditional=self.conditional, drift=self.drift,
-                mesh=mesh)
+                mesh=mesh, r1_gamma=r1_gamma)
         return self._steps[key]
 
     def _get_sample_fn(self, depth: int):
@@ -243,7 +262,9 @@ class StyleGAN:
                 " — adaptive max_devices meshes are single-process only")
         mesh = self._mesh_for_batch(global_batch)
         self._ensure_placement(mesh)
-        step = self._get_step(depth, mesh)
+        with_r1 = (self._update_count % self.r1_interval) == 0
+        self._update_count += 1
+        step = self._get_step(depth, mesh, with_r1)
         key = self._next_key()
         dt = self.activations_dtype
         if nproc > 1:

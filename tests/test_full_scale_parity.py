@@ -73,12 +73,19 @@ def gen_setup():
     return cfg, params, tg
 
 
-@pytest.mark.parametrize("alpha", [1.0, 0.35])
-def test_generator_1024_parity(gen_setup, alpha):
+@pytest.mark.parametrize("alpha,packed", [(1.0, False), (0.35, False),
+                                          (1.0, True), (0.35, True)])
+def test_generator_1024_parity(gen_setup, alpha, packed):
     """Depth-8 1024^2 G forward: ours vs the reference torch model fed our
     converted weights, pinned noise, same z — end to end through every
-    fused->nonfused threshold crossing and the full 9-stage accumulation."""
+    fused->nonfused threshold crossing and the full 9-stage accumulation.
+    packed=True proves the space-to-depth perf path holds the same <=1e-2
+    bar (the 512/1024 stages run packed at these FFHQ shapes)."""
     cfg, params, tg = gen_setup
+    if packed:
+        from dataclasses import replace
+        cfg = replace(cfg, synthesis=replace(cfg.synthesis, packed=True))
+        assert cfg.synthesis.packed_block(DEPTH - 1)
     batch = 1
     noises = make_noises(batch, int(np.log2(RES)) - 1, seed=3)
     pin_reference_noise(tg, noises)
@@ -128,14 +135,15 @@ def test_generator_1024_parity_from_official_pickle(gen_setup, tmp_path):
     assert max_delta <= PIXEL_BAR, f"pixel delta {max_delta} > {PIXEL_BAR}"
 
 
-@pytest.mark.parametrize("alpha", [0.35])
-def test_discriminator_1024_parity(alpha):
+@pytest.mark.parametrize("alpha,packed", [(0.35, False), (0.35, True)])
+def test_discriminator_1024_parity(alpha, packed):
     """Depth-8 1024^2 D forward (batch 4 = one full mbstd group): ours vs the
     reference torch model fed our converted weights — exercises the fused
     downscale conv (input res >= 128, stages 1024..128), the from_rgb blend,
-    and the stddev head at full scale."""
+    and the stddev head at full scale.  packed=True proves the perf path
+    holds the bar too."""
     cfg = DiscriminatorConfig(resolution=RES, blur_filter=(1, 2, 1),
-                              structure="linear")
+                              structure="linear", packed=packed)
     params = discriminator_init(jax.random.PRNGKey(1), cfg)
     td = TorchDiscriminator(resolution=RES, blur_filter=[1, 2, 1],
                             structure="linear")

@@ -208,6 +208,45 @@ def test_custom_loss_pair():
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+def test_lazy_r1_gamma_override():
+    """r1_gamma overrides the logistic R1 coefficient (the lazy-R1 building
+    block): gamma=0 must equal a logistic loss with the penalty stripped,
+    and a scaled gamma must match an explicit custom pair bit-for-bit."""
+    from functools import partial
+    from stylegan_tpu.losses import logistic_dis_loss, logistic_gen_loss
+    gen_cfg, dis_cfg = make_cfgs()
+    reals = jax.random.normal(jax.random.PRNGKey(60), (8, RES, RES, 3))
+    z = jax.random.normal(jax.random.PRNGKey(61), (8, 32))
+
+    def run(loss, r1_gamma=None):
+        state, g_tx, d_tx = make_state(gen_cfg, dis_cfg, seed=62)
+        step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                                loss=loss, donate=False, r1_gamma=r1_gamma)
+        new_state, metrics = step(state, reals, z, jax.random.PRNGKey(63),
+                                  jnp.float32(0.7))
+        return new_state, metrics
+
+    for gamma in (0.0, 20.0):
+        got, got_m = run("logistic", r1_gamma=gamma)
+        want, want_m = run((partial(logistic_dis_loss, r1_gamma=gamma),
+                            logistic_gen_loss))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            got, want)
+        assert float(got_m["d_loss"]) == float(want_m["d_loss"])
+
+    # gamma=0 really removes the penalty: d_loss differs from the default
+    base, base_m = run("logistic")
+    zero, zero_m = run("logistic", r1_gamma=0.0)
+    assert float(base_m["d_loss"]) != float(zero_m["d_loss"])
+
+    with pytest.raises(AssertionError):
+        build_train_step(gen_cfg, dis_cfg, make_g_optimizer(),
+                         make_d_optimizer(), depth=1,
+                         loss="hinge", r1_gamma=5.0)
+
+
 def test_mesh_avg_latent_synced_and_rng_sharded():
     """Production mesh step: truncation W-average identical on every shard
     (broadcast from shard 0) and per-shard noise independent."""

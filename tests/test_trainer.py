@@ -17,7 +17,7 @@ RES = 16
 
 
 def make_trainer(tmp, structure="linear", loss="relativistic-hinge",
-                 conditional=False, n_classes=0, use_ema=True):
+                 conditional=False, n_classes=0, use_ema=True, **kw):
     g_args = {"latent_size": 64, "mapping_layers": 2,
               "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
               "truncation_cutoff": 8}
@@ -28,7 +28,7 @@ def make_trainer(tmp, structure="linear", loss="relativistic-hinge",
                     latent_size=64, g_args=g_args, d_args=d_args,
                     g_opt_args=opt_args, d_opt_args=opt_args,
                     conditional=conditional, n_classes=n_classes,
-                    loss=loss, use_ema=use_ema, seed=0)
+                    loss=loss, use_ema=use_ema, seed=0, **kw)
 
 
 def test_progressive_training_end_to_end(tmp_path):
@@ -178,6 +178,25 @@ def test_conditional_training_smoke(tmp_path):
     labels = np.random.RandomState(2).randint(0, 4, size=8)
     d, g = trainer.train_on_batch(imgs, depth=1, alpha=0.5, labels=labels)
     assert np.isfinite(d) and np.isfinite(g)
+
+
+def test_lazy_r1_trainer(tmp_path):
+    """r1_interval > 1 (logistic only): the trainer compiles a regularized
+    and an unregularized program per depth, applies R1 on updates 0, N,
+    2N, ... and trains stably."""
+    trainer = make_trainer(str(tmp_path), loss="logistic", r1_interval=2)
+    imgs = np.random.RandomState(3).randn(8, RES, RES, 3).astype(np.float32)
+    for _ in range(4):
+        d, g = trainer.train_on_batch(imgs, depth=1, alpha=1.0)
+        assert np.isfinite(d) and np.isfinite(g)
+    keys = {k for k in trainer._steps if isinstance(k, tuple) and len(k) == 3}
+    assert keys == {(1, 1, True), (1, 1, False)}, keys
+    for leaf in jax.tree_util.tree_leaves(trainer.state.g_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # non-logistic losses must refuse the knob
+    with pytest.raises(AssertionError):
+        make_trainer(str(tmp_path), loss="hinge", r1_interval=4)
 
 
 def test_bf16_activation_training(tmp_path):

@@ -110,7 +110,8 @@ def main():
                          max_devices=max_devices,
                          seed=opt.seed,
                          activations_dtype=opt.precision.activations,
-                         packed_layout=packed)
+                         packed_layout=packed,
+                         r1_interval=getattr(opt, "r1_interval", 1))
 
     start_depth = args.start_depth
     if args.resume is not None:

@@ -6,6 +6,8 @@ Metrics:
   fid — Frechet Inception Distance; requires --inception_weights, a local
       `.npz` of torchvision inception_v3 state_dict tensors (see
       stylegan_tpu/metrics/fid.py for the one-line conversion recipe).
+  is — Inception Score (mean/std over 10 splits); same weights file, must
+      include the fc classifier head.
 
   python eval_metrics.py --config configs/sample_ffhq_128.yaml \
       --generator_file out/models/GAN_GEN_SHADOW_5_32.npz --num_samples 256
@@ -35,10 +37,11 @@ def parse_arguments():
     parser.add_argument("--num_samples", type=int, default=256)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--metric", choices=["swd", "fid"], default="swd")
+    parser.add_argument("--metric", choices=["swd", "fid", "is"],
+                        default="swd")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision-schema inception_v3 .npz "
-                             "(required for --metric fid)")
+                             "(required for --metric fid / is)")
     return parser.parse_args()
 
 
@@ -90,12 +93,24 @@ def main():
         fakes.append(np.asarray(sample(z, ks, labels)))
     fakes = np.concatenate(fakes)[:args.num_samples]
 
-    if args.metric == "fid":
+    if args.metric in ("fid", "is"):
         if not args.inception_weights:
             raise SystemExit(
-                "--metric fid requires --inception_weights <inception_v3"
-                ".npz>; without pretrained weights use the air-gap-safe "
-                "default --metric swd")
+                f"--metric {args.metric} requires --inception_weights "
+                "<inception_v3.npz>; without pretrained weights use the "
+                "air-gap-safe default --metric swd")
+
+    if args.metric == "is":
+        from stylegan_tpu.metrics import compute_inception_score
+        mean, std = compute_inception_score(
+            np.clip((fakes + 1) / 2, 0, 1), args.inception_weights,
+            batch_size=args.batch)
+        print(json.dumps({"inception_score": round(mean, 4),
+                          "inception_score_std": round(std, 4),
+                          "num_samples": args.num_samples}))
+        return
+
+    if args.metric == "fid":
         from stylegan_tpu.metrics import compute_fid
         # datasets / generator produce [-1, 1]; FID's pipeline takes [0, 1]
         fid = compute_fid(np.clip((reals + 1) / 2, 0, 1),

@@ -156,16 +156,28 @@ def inception_v3_init(key) -> Dict[str, np.ndarray]:
         params[f"{name}.bn.bias"] = np.zeros((cout,), np.float32)
         params[f"{name}.bn.running_mean"] = np.zeros((cout,), np.float32)
         params[f"{name}.bn.running_var"] = np.ones((cout,), np.float32)
+    # classifier head (fc) — FID ignores it, Inception Score needs it
+    key, k = jax.random.split(key)
+    params["fc.weight"] = np.asarray(
+        jax.random.normal(k, (1000, 2048)) * math.sqrt(1.0 / 2048), np.float32)
+    params["fc.bias"] = np.zeros((1000,), np.float32)
     return params
 
 
-def load_inception_weights(path: str) -> Dict[str, np.ndarray]:
+def load_inception_weights(path: str, need_fc: bool = False) \
+        -> Dict[str, np.ndarray]:
     """Load a torchvision-schema `.npz`; verifies every conv/BN tensor the
-    feature path needs is present with the right shape (fc / AuxLogits keys
-    are ignored — FID uses pool3 features only)."""
+    feature path needs is present with the right shape.  FID uses pool3
+    features only (fc / AuxLogits keys ignored); need_fc=True additionally
+    requires the (1000, 2048) classifier head (Inception Score)."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     missing, bad = [], []
+    if need_fc:
+        if "fc.weight" not in flat or "fc.bias" not in flat:
+            missing.append("fc.weight/fc.bias")
+        elif tuple(flat["fc.weight"].shape) != (1000, 2048):
+            bad.append(f"fc.weight: {flat['fc.weight'].shape} != (1000, 2048)")
     for name, cin, cout, kh, kw, _, _ in all_conv_specs():
         wk = f"{name}.conv.weight"
         if wk not in flat:
@@ -374,3 +386,48 @@ def compute_fid(reals01, fakes01, weights_path: str,
 
     return fid_from_features(run(np.asarray(reals01)),
                              run(np.asarray(fakes01)))
+
+
+# ---------------------------------------------------------------------------
+# Inception Score (Salimans et al. 2016) — reuses the same network + weights
+# ---------------------------------------------------------------------------
+
+def make_probs_fn(params: Dict[str, np.ndarray]):
+    """Returns a jitted fn: images01 (B, H, W, 3) in [0, 1] -> class
+    probabilities (B, 1000) via the torchvision fc head on pool3 features."""
+    feature_fn = make_feature_fn(params)
+    fc_w = jnp.asarray(np.transpose(params["fc.weight"]), jnp.float32)
+    fc_b = jnp.asarray(params["fc.bias"], jnp.float32)
+
+    @jax.jit
+    def probs(images01):
+        logits = feature_fn(images01) @ fc_w + fc_b
+        return jax.nn.softmax(logits, axis=-1)
+
+    return probs
+
+
+def inception_score_from_probs(probs: np.ndarray,
+                               splits: int = 10) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))), mean/std over `splits` chunks."""
+    p = np.asarray(probs, np.float64)
+    n = len(p)
+    splits = max(1, min(splits, n))
+    scores = []
+    for chunk in np.array_split(p, splits):
+        marginal = chunk.mean(axis=0, keepdims=True)
+        kl = np.sum(chunk * (np.log(chunk + 1e-16)
+                             - np.log(marginal + 1e-16)), axis=1)
+        scores.append(float(np.exp(kl.mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def compute_inception_score(fakes01, weights_path: str, batch_size: int = 32,
+                            splits: int = 10) -> Tuple[float, float]:
+    """End-to-end Inception Score of a [0, 1] NHWC image set."""
+    probs_fn = make_probs_fn(load_inception_weights(weights_path,
+                                                    need_fc=True))
+    out = []
+    for i in range(0, len(fakes01), batch_size):
+        out.append(np.asarray(probs_fn(fakes01[i:i + batch_size])))
+    return inception_score_from_probs(np.concatenate(out), splits)

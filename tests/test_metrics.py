@@ -122,6 +122,43 @@ class TestInceptionPipeline:
         with pytest.raises(ValueError, match="schema"):
             load_inception_weights(bad_path)
 
+    def test_inception_score_math(self):
+        """Closed-form checks of the IS formula: one-hot predictions spread
+        uniformly over K classes score exactly K; identical predictions
+        score exactly 1."""
+        from stylegan_tpu.metrics import inception_score_from_probs
+        k, n = 10, 40
+        onehot = np.zeros((n, 1000))
+        onehot[np.arange(n), np.arange(n) % k] = 1.0
+        mean, std = inception_score_from_probs(onehot, splits=1)
+        assert abs(mean - k) < 1e-6 and std == 0.0
+
+        same = np.tile(np.full((1, 1000), 1.0 / 1000), (n, 1))
+        mean, _ = inception_score_from_probs(same, splits=4)
+        assert abs(mean - 1.0) < 1e-9
+
+    def test_compute_inception_score_end_to_end(self, weights, tmp_path):
+        """Whole IS pipeline on synthetic weights: finite, >= 1 (Jensen),
+        and deterministic."""
+        from stylegan_tpu.metrics import compute_inception_score
+        path = str(tmp_path / "inception.npz")
+        np.savez(path, **weights)
+        rs = np.random.RandomState(6)
+        fakes = rs.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+        m1, s1 = compute_inception_score(fakes, path, batch_size=4, splits=2)
+        m2, _ = compute_inception_score(fakes, path, batch_size=4, splits=2)
+        assert np.isfinite(m1) and np.isfinite(s1)
+        assert m1 >= 1.0 - 1e-9
+        assert m1 == m2
+
+        # fc head is required: a weights file without it must be rejected
+        no_fc = {k: v for k, v in weights.items()
+                 if not k.startswith("fc.")}
+        nf_path = str(tmp_path / "nofc.npz")
+        np.savez(nf_path, **no_fc)
+        with pytest.raises(ValueError, match="schema"):
+            compute_inception_score(fakes, nf_path, batch_size=4)
+
     def test_compute_fid_end_to_end(self, weights, tmp_path):
         """The whole FID pipeline on synthetic weights: same set -> ~0,
         disjoint distributions -> clearly larger."""

@@ -235,6 +235,10 @@ def get_default_cfg() -> ConfigNode:
     # scaled by N — same effective regularization, the grad-of-grad cost is
     # paid 1/N of the time.  1 = reference semantics (R1 on every D update).
     c.r1_interval = 1
+    # rematerialize G/D blocks in backward (jax.checkpoint): extra forward
+    # FLOPs for much lower train-step peak HBM — enables larger batches at
+    # high resolution.  Same math; forward-only CLIs are unaffected.
+    c.ops.remat = False
 
     return c
 

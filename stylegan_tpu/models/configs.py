@@ -63,6 +63,10 @@ class SynthesisConfig:
     # low-channel stages space-to-depth packed (ops/packed.py).  Same math,
     # 2-3x faster convs on TPU; off by default for bit-level reference parity.
     packed: bool = False
+    # Rematerialize each growth block in the backward pass (jax.checkpoint):
+    # trades one extra block forward for not holding its activations live,
+    # cutting train-step peak HBM so larger batches fit at high resolution.
+    remat: bool = False
 
     @property
     def resolution_log2(self) -> int:
@@ -141,6 +145,8 @@ class DiscriminatorConfig:
     # space-to-depth packed execution for the high-res low-channel stages
     # (see SynthesisConfig.packed)
     packed: bool = False
+    # rematerialize each block in the backward pass (see SynthesisConfig.remat)
+    remat: bool = False
 
     @property
     def resolution_log2(self) -> int:
@@ -232,6 +238,8 @@ def generator_config_from_cfg(cfg) -> GeneratorConfig:
         cfg.model.gen)
     if resolve_packed(cfg):
         g = replace(g, synthesis=replace(g.synthesis, packed=True))
+    if getattr(cfg.ops, "remat", False):
+        g = replace(g, synthesis=replace(g.synthesis, remat=True))
     return g
 
 
@@ -243,4 +251,6 @@ def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
         cfg.conditional, cfg.n_classes, cfg.model.dis)
     if resolve_packed(cfg):
         d = replace(d, packed=True)
+    if getattr(cfg.ops, "remat", False):
+        d = replace(d, remat=True)
     return d

@@ -71,6 +71,17 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
     return act(x)
 
 
+def _block_step(cfg: DiscriminatorConfig, params: dict, x: jax.Array,
+                res_log2: int) -> jax.Array:
+    """discriminator_block_apply, rematerialized when cfg.remat (the high-res
+    blocks' activations dominate train-step memory; R1's grad-of-grad holds
+    them twice without this)."""
+    if not cfg.remat:
+        return discriminator_block_apply(cfg, params, x, res_log2=res_log2)
+    fn = lambda p, xx: discriminator_block_apply(cfg, p, xx, res_log2=res_log2)
+    return jax.checkpoint(fn)(params, x)
+
+
 def discriminator_top_init(key, cfg: DiscriminatorConfig,
                            dtype=jnp.float32) -> dict:
     """Final block (reference DiscriminatorTop, Blocks.py:91-134)."""
@@ -173,7 +184,7 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
             images = _concat_label_planes(params, 0, images, labels)
         x = _from_rgb(cfg, params, 0, images, cfg.packed_res(rlog2))
         for bi, block in enumerate(params["blocks"]):
-            x = discriminator_block_apply(cfg, block, x, res_log2=rlog2 - bi)
+            x = _block_step(cfg, block, x, res_log2=rlog2 - bi)
         return discriminator_top_apply(cfg, params["final_block"], x)
 
     if cfg.structure != "linear":
@@ -189,7 +200,7 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
         residual = _from_rgb(cfg, params, cfg.depth - depth,
                              avg_pool2d(images, 2),
                              cfg.packed_res(in_log2 - 1))
-        straight = discriminator_block_apply(
+        straight = _block_step(
             cfg, params["blocks"][cfg.depth - depth - 1],
             _from_rgb(cfg, params, cfg.depth - depth - 1, images,
                       cfg.packed_res(in_log2)),
@@ -198,8 +209,7 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
         # without the cast it would promote the whole D trunk under bf16)
         x = (alpha * straight + (1.0 - alpha) * residual).astype(straight.dtype)
         for i in range(cfg.depth - depth, len(params["blocks"])):
-            x = discriminator_block_apply(cfg, params["blocks"][i], x,
-                                          res_log2=rlog2 - i)
+            x = _block_step(cfg, params["blocks"][i], x, res_log2=rlog2 - i)
     else:
         if cfg.conditional:
             images = _concat_label_planes(params, -1, images, labels)

@@ -197,6 +197,23 @@ def synthesis_block_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
     return x
 
 
+def _block_step(cfg: SynthesisConfig, params: dict, x: jax.Array,
+                dlatents2: jax.Array, block_idx: int, rng, noises,
+                in_packed: bool) -> jax.Array:
+    """synthesis_block_apply, rematerialized when cfg.remat: the block's
+    internals are recomputed in the backward pass instead of held in HBM
+    (activations at >=512^2 dominate train-step memory)."""
+    if not cfg.remat:
+        return synthesis_block_apply(cfg, params, x, dlatents2, block_idx,
+                                     rng, noises, in_packed=in_packed)
+
+    def fn(p, xx, dl, r):
+        return synthesis_block_apply(cfg, p, xx, dl, block_idx, r, noises,
+                                     in_packed=in_packed)
+
+    return jax.checkpoint(fn)(params, x, dlatents2, rng)
+
+
 # --------------------------------------------------------------------------
 # Full synthesis network
 # --------------------------------------------------------------------------
@@ -244,11 +261,10 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
     if cfg.structure == "fixed":
         n_blocks = len(params["blocks"])
         for i in range(n_blocks):
-            x = synthesis_block_apply(cfg, params["blocks"][i], x,
-                                      dlatents[:, 2 * (i + 1):2 * (i + 2)],
-                                      i, rng, noises,
-                                      in_packed=(i > 0 and
-                                                 cfg.packed_block(i - 1)))
+            x = _block_step(cfg, params["blocks"][i], x,
+                            dlatents[:, 2 * (i + 1):2 * (i + 2)],
+                            i, rng, noises,
+                            in_packed=(i > 0 and cfg.packed_block(i - 1)))
         packed = n_blocks > 0 and cfg.packed_block(n_blocks - 1)
         out = _to_rgb(cfg, params, len(params["to_rgb"]) - 1, x, packed)
         return pk.depth_to_space(out) if packed else out
@@ -260,10 +276,10 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
         return _to_rgb(cfg, params, 0, x)
 
     for i in range(depth - 1):
-        x = synthesis_block_apply(cfg, params["blocks"][i], x,
-                                  dlatents[:, 2 * (i + 1):2 * (i + 2)],
-                                  i, rng, noises,
-                                  in_packed=(i > 0 and cfg.packed_block(i - 1)))
+        x = _block_step(cfg, params["blocks"][i], x,
+                        dlatents[:, 2 * (i + 1):2 * (i + 2)],
+                        i, rng, noises,
+                        in_packed=(i > 0 and cfg.packed_block(i - 1)))
     # reference computes to_rgb(upscale(x)) (GAN.py:199); a 1x1 conv commutes
     # bit-exactly with nearest upsampling, and conv-first avoids materializing
     # the C-channel map at 2x resolution (4x fewer conv FLOPs + ~C/3 less HBM)
@@ -276,9 +292,9 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
     # when the final stage is packed (a pure channel-repeat)
     residual = (pk.upscale_rgb_packed(residual) if out_packed
                 else upscale2d(residual))
-    x = synthesis_block_apply(cfg, params["blocks"][depth - 1], x,
-                              dlatents[:, 2 * depth:2 * (depth + 1)],
-                              depth - 1, rng, noises, in_packed=prev_packed)
+    x = _block_step(cfg, params["blocks"][depth - 1], x,
+                    dlatents[:, 2 * depth:2 * (depth + 1)],
+                    depth - 1, rng, noises, in_packed=prev_packed)
     straight = _to_rgb(cfg, params, depth, x, out_packed)
     # alpha arrives as an f32 scalar (precise fade schedule); cast the blend
     # back to the activation dtype so a bf16 pipeline stays bf16 downstream

@@ -41,7 +41,7 @@ class StyleGAN:
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
                  activations_dtype="float32", packed_layout=False,
-                 r1_interval=1):
+                 r1_interval=1, remat_blocks=False):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
         divisibility), or None.  max_devices: adaptive data parallelism —
         each step uses the largest mesh (<= max_devices) that its global
@@ -99,6 +99,13 @@ class StyleGAN:
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
                 self.gen_cfg.synthesis, packed=True))
             self.dis_cfg = replace(self.dis_cfg, packed=True)
+        if remat_blocks:
+            # rematerialize G/D blocks in backward (jax.checkpoint): lower
+            # peak HBM per train step for one extra block forward each
+            from dataclasses import replace
+            self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
+                self.gen_cfg.synthesis, remat=True))
+            self.dis_cfg = replace(self.dis_cfg, remat=True)
 
         key = jax.random.PRNGKey(seed)
         k_g, k_d, self._key = jax.random.split(key, 3)

@@ -247,6 +247,59 @@ def test_lazy_r1_gamma_override():
                          loss="hinge", r1_gamma=5.0)
 
 
+def test_remat_blocks_matches_grads():
+    """cfg.remat (jax.checkpoint per block) is an execution choice, not a
+    math change: forward outputs and parameter gradients of a logistic+R1
+    objective — G fwd/bwd, D fwd/bwd and the grad-of-grad — must match to
+    float32 roundoff (XLA may reassociate across the rematerialized graph,
+    so bit-equality is not guaranteed, near-equality is)."""
+    from dataclasses import replace
+    from stylegan_tpu.losses import logistic_dis_loss
+    from stylegan_tpu.models import (discriminator_apply, generator_apply)
+    gen_cfg, dis_cfg = make_cfgs()
+    reals = jax.random.normal(jax.random.PRNGKey(70), (8, RES, RES, 3))
+    z = jax.random.normal(jax.random.PRNGKey(71), (8, 32))
+    key = jax.random.PRNGKey(73)
+
+    def run(remat):
+        g_cfg = replace(gen_cfg,
+                        synthesis=replace(gen_cfg.synthesis, remat=remat))
+        d_cfg = replace(dis_cfg, remat=remat)
+        state, _, _ = make_state(g_cfg, d_cfg, seed=72)
+
+        def d_objective(d_params):
+            out = generator_apply(g_cfg, state.g_params, z, depth=2,
+                                  alpha=0.6, rng=key, train=True)
+            dis_fn = lambda imgs: discriminator_apply(
+                d_cfg, d_params, imgs, depth=2, alpha=0.6)
+            return logistic_dis_loss(dis_fn, reals,
+                                     jax.lax.stop_gradient(out.images), None)
+
+        def g_objective(g_params):
+            out = generator_apply(g_cfg, g_params, z, depth=2, alpha=0.6,
+                                  rng=key, train=True)
+            scores = discriminator_apply(d_cfg, state.d_params, out.images,
+                                         depth=2, alpha=0.6)
+            return jnp.mean(jax.nn.softplus(-scores))
+
+        dl, dg = jax.jit(jax.value_and_grad(d_objective))(state.d_params)
+        gl, gg = jax.jit(jax.value_and_grad(g_objective))(state.g_params)
+        return dl, dg, gl, gg
+
+    dl0, dg0, gl0, gg0 = run(False)
+    dl1, dg1, gl1, gg1 = run(True)
+    np.testing.assert_allclose(float(dl0), float(dl1), rtol=1e-6)
+    np.testing.assert_allclose(float(gl0), float(gl1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(dg0),
+                    jax.tree_util.tree_leaves(dg1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gg0),
+                    jax.tree_util.tree_leaves(gg1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_mesh_avg_latent_synced_and_rng_sharded():
     """Production mesh step: truncation W-average identical on every shard
     (broadcast from shard 0) and per-shard noise independent."""

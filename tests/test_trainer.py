@@ -241,8 +241,8 @@ def test_adaptive_mesh_training(tmp_path):
         rs.randn(2, RES, RES, 3).astype(np.float32), depth=1, alpha=0.5)
     assert np.isfinite(d) and np.isfinite(g)
     assert trainer._mesh_for_batch(2) is None
-    # separate compiled steps cached per (depth, mesh size)
-    assert (1, 8) in trainer._steps and (1, 1) in trainer._steps
+    # separate compiled steps cached per (depth, mesh size, r1 phase)
+    assert (1, 8, True) in trainer._steps and (1, 1, True) in trainer._steps
 
 
 def test_adaptive_mesh_respects_stddev_group():

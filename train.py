@@ -111,7 +111,8 @@ def main():
                          seed=opt.seed,
                          activations_dtype=opt.precision.activations,
                          packed_layout=packed,
-                         r1_interval=getattr(opt, "r1_interval", 1))
+                         r1_interval=getattr(opt, "r1_interval", 1),
+                         remat_blocks=getattr(opt.ops, "remat", False))
 
     start_depth = args.start_depth
     if args.resume is not None:

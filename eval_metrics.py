@@ -67,13 +67,15 @@ def main():
     params = load_generator_file(params, args.generator_file)
     out_depth = gen_cfg.synthesis.depth - 1
 
-    # real samples
-    dataset = make_dataset(opt.dataset, conditional=opt.conditional)
-    rs = np.random.RandomState(args.seed)
-    idx = rs.choice(len(dataset), size=args.num_samples, replace=False)
-    reals = np.stack([dataset.get(int(i), rs)[0]
-                      if opt.conditional else dataset.get(int(i), rs)
-                      for i in idx])
+    # real samples (IS scores generated images only — no dataset needed)
+    reals = None
+    if args.metric != "is":
+        dataset = make_dataset(opt.dataset, conditional=opt.conditional)
+        rs = np.random.RandomState(args.seed)
+        idx = rs.choice(len(dataset), size=args.num_samples, replace=False)
+        reals = np.stack([dataset.get(int(i), rs)[0]
+                          if opt.conditional else dataset.get(int(i), rs)
+                          for i in idx])
 
     # generated samples
     key = jax.random.PRNGKey(args.seed)

@@ -232,7 +232,7 @@ def get_default_cfg() -> ConfigNode:
     # activations (the perf path), off in the f32 reference-parity default.
     c.ops.packed = "auto"                  # 'auto' | True | False
     # lazy R1 (logistic loss only): apply R1 every N updates with gamma
-    # scaled by N — same effective regularization, the grad-of-grad cost is
+    # scaled by N — same time-averaged penalty, the grad-of-grad cost is
     # paid 1/N of the time.  1 = reference semantics (R1 on every D update).
     c.r1_interval = 1
     # rematerialize G/D blocks in backward (jax.checkpoint): extra forward

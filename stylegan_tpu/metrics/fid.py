@@ -176,8 +176,12 @@ def load_inception_weights(path: str, need_fc: bool = False) \
     if need_fc:
         if "fc.weight" not in flat or "fc.bias" not in flat:
             missing.append("fc.weight/fc.bias")
-        elif tuple(flat["fc.weight"].shape) != (1000, 2048):
-            bad.append(f"fc.weight: {flat['fc.weight'].shape} != (1000, 2048)")
+        else:
+            if tuple(flat["fc.weight"].shape) != (1000, 2048):
+                bad.append(
+                    f"fc.weight: {flat['fc.weight'].shape} != (1000, 2048)")
+            if tuple(flat["fc.bias"].shape) != (1000,):
+                bad.append(f"fc.bias: {flat['fc.bias'].shape} != (1000,)")
     for name, cin, cout, kh, kw, _, _ in all_conv_specs():
         wk = f"{name}.conv.weight"
         if wk not in flat:

@@ -90,8 +90,9 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     reference Losses.py:195).  The trainer's lazy-R1 mode uses it to compile
     a gamma=0 step (no grad-of-grad at all — the penalty's double backward is
     the dominant cost at high resolution) plus a gamma*interval step applied
-    every `interval` D updates, keeping the same effective regularization
-    (Karras et al. 2020, "lazy regularization").
+    every `interval` D updates, keeping the same time-averaged penalty
+    gradient (Karras et al. 2020, "lazy regularization"; see docs/DESIGN.md
+    for the optimizer-level caveat).
     """
     # `loss` is a registry name, or a (dis_loss_fn, gen_loss_fn) pair — the
     # counterpart of the reference accepting a GANLoss instance (GAN.py:464)

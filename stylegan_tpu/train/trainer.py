@@ -76,10 +76,13 @@ class StyleGAN:
         self.drift = drift
         # lazy R1 (beyond-reference, logistic loss only): apply the R1
         # penalty every `r1_interval` updates with gamma scaled by the
-        # interval — same effective regularization, but the grad-of-grad
-        # (the dominant 1024^2 step cost) is paid 1/interval of the time.
+        # interval — same time-averaged penalty, but the grad-of-grad (the
+        # dominant 1024^2 step cost) is paid 1/interval of the time.
         # interval 1 == the reference's every-step R1, bit-for-bit.
         self.r1_interval = int(r1_interval)
+        assert self.r1_interval >= 1, \
+            f"r1_interval must be >= 1 (got {r1_interval}); R1 itself is " \
+            "part of the logistic loss — pick a different loss to disable it"
         if self.r1_interval > 1:
             assert self.loss_name == "logistic", \
                 "r1_interval > 1 requires the logistic loss"
@@ -463,12 +466,17 @@ class StyleGAN:
 
     # full-train-state checkpointing (one artifact instead of 5 files)
     def save_full_state(self, path, depth, epoch):
+        # update_count preserves the lazy-R1 phase across resume (without it
+        # a mid-interval resume would re-apply the scaled penalty early)
         ckpt.save_train_state(path, self.state,
-                              {"depth": depth, "epoch": epoch})
+                              {"depth": depth, "epoch": epoch,
+                               "update_count": self._update_count})
 
     def restore_full_state(self, path):
         """Restore a save_full_state checkpoint; returns its metadata."""
         self.state, meta = ckpt.load_train_state(path, self.state)
+        if meta.get("update_count") is not None:
+            self._update_count = int(meta["update_count"])
         return meta
 
 

@@ -194,9 +194,20 @@ def test_lazy_r1_trainer(tmp_path):
     for leaf in jax.tree_util.tree_leaves(trainer.state.g_params):
         assert np.isfinite(np.asarray(leaf)).all()
 
-    # non-logistic losses must refuse the knob
+    # non-logistic losses must refuse the knob; so must interval < 1
     with pytest.raises(AssertionError):
         make_trainer(str(tmp_path), loss="hinge", r1_interval=4)
+    with pytest.raises(AssertionError):
+        make_trainer(str(tmp_path), loss="logistic", r1_interval=0)
+
+    # the R1 phase survives a full-state checkpoint round trip (a mid-
+    # interval resume must not re-apply the scaled penalty early)
+    path = str(tmp_path / "state.ckpt")
+    trainer.save_full_state(path, depth=1, epoch=1)
+    fresh = make_trainer(str(tmp_path), loss="logistic", r1_interval=2)
+    assert fresh._update_count == 0
+    fresh.restore_full_state(path)
+    assert fresh._update_count == trainer._update_count == 4
 
 
 def test_bf16_activation_training(tmp_path):

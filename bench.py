@@ -28,6 +28,7 @@ if REPO_ROOT not in sys.path:
 
 A100_EST_IMGS_PER_SEC = 25.0
 TARGET_MULTIPLIER = 3.0
+T_START = time.time()
 
 
 def _gen_cfg(res, packed=True):
@@ -82,10 +83,11 @@ def main():
         return batch * ITERS / best_dt
 
     # largest batch first: throughput has always been monotone in batch on
-    # this chip, and stopping at the first batch that compiles+runs saves
-    # two ~2-minute 1024^2 compiles through the tunnel
+    # this chip (365 img/s at 32 -> 575 at 128; 256 crashes the compiler),
+    # and stopping at the first batch that compiles+runs saves several
+    # ~2-minute 1024^2 compiles through the tunnel
     best_bs, best = 0, 0.0
-    for batch in (32, 16, 8):
+    for batch in (128, 32, 8):
         try:
             best_bs, best = batch, run(batch)
             break
@@ -95,16 +97,21 @@ def main():
     train_ips = _train_throughput(res=128, batch=16, loss="relativistic-hinge")
     train_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
                                        iters=2)
-    # lazy R1 (r1_interval=16, gamma scaled — same effective regularization):
+    # lazy R1 (r1_interval=16, gamma scaled — same time-averaged penalty):
     # amortized step cost = (t_r1 + 15 * t_plain) / 16, measured from the
     # gamma=0 program (no grad-of-grad) + the every-step number above.
+    # Optional metric: skipped when compiles already ate the time budget
+    # (tunneled backends spend minutes per 1024^2 compile) so the required
+    # metrics always make it out.
     LAZY_N = 16
-    plain_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
-                                       iters=2, r1_gamma=0.0)
     lazy_1024_ips = None
-    if train_1024_ips and plain_1024_ips:
-        t_amort = (1.0 / train_1024_ips + (LAZY_N - 1) / plain_1024_ips) / LAZY_N
-        lazy_1024_ips = 1.0 / t_amort
+    if time.time() - T_START < 720:
+        plain_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
+                                           iters=2, r1_gamma=0.0)
+        if train_1024_ips and plain_1024_ips:
+            t_amort = (1.0 / train_1024_ips
+                       + (LAZY_N - 1) / plain_1024_ips) / LAZY_N
+            lazy_1024_ips = 1.0 / t_amort
 
     result = {
         "metric": "1024x1024 synthesis throughput (1 chip)",

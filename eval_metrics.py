@@ -8,6 +8,9 @@ Metrics:
       stylegan_tpu/metrics/fid.py for the one-line conversion recipe).
   is — Inception Score (mean/std over 10 splits); same weights file, must
       include the fc classifier head.
+  ppl — Perceptual Path Length (latent-space smoothness); LPIPS-VGG16 with
+      --lpips_weights, else a pyramid-L2 fallback that needs no weights.
+      --ppl_space w|z, --ppl_sampling full|end.
 
   python eval_metrics.py --config configs/sample_ffhq_128.yaml \
       --generator_file out/models/GAN_GEN_SHADOW_5_32.npz --num_samples 256
@@ -37,11 +40,17 @@ def parse_arguments():
     parser.add_argument("--num_samples", type=int, default=256)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--metric", choices=["swd", "fid", "is"],
+    parser.add_argument("--metric", choices=["swd", "fid", "is", "ppl"],
                         default="swd")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision-schema inception_v3 .npz "
                              "(required for --metric fid / is)")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="vgg16+lin lpips .npz for --metric ppl "
+                             "(omit to use the pyramid-L2 fallback)")
+    parser.add_argument("--ppl_space", choices=["w", "z"], default="w")
+    parser.add_argument("--ppl_sampling", choices=["full", "end"],
+                        default="full")
     return parser.parse_args()
 
 
@@ -66,6 +75,28 @@ def main():
     params = generator_init(jax.random.PRNGKey(0), gen_cfg)
     params = load_generator_file(params, args.generator_file)
     out_depth = gen_cfg.synthesis.depth - 1
+
+    if args.metric == "ppl":
+        from stylegan_tpu.metrics import (load_lpips_weights, make_lpips_fn,
+                                          make_pyramid_distance, ppl_samples,
+                                          ppl_score)
+        if args.lpips_weights:
+            dist_fn, dist_name = (make_lpips_fn(
+                load_lpips_weights(args.lpips_weights)), "lpips-vgg16")
+        else:
+            dist_fn, dist_name = make_pyramid_distance(), "pyramid-l2"
+        labels = (jnp.zeros((args.batch,), jnp.int32)
+                  if opt.conditional else None)
+        d = ppl_samples(gen_cfg, params, dist_fn,
+                        num_samples=args.num_samples, batch_size=args.batch,
+                        key=jax.random.PRNGKey(args.seed),
+                        space=args.ppl_space, sampling=args.ppl_sampling,
+                        labels=labels)
+        print(json.dumps({"ppl": round(ppl_score(d), 4),
+                          "distance": dist_name, "space": args.ppl_space,
+                          "sampling": args.ppl_sampling,
+                          "num_samples": args.num_samples}))
+        return
 
     # real samples (IS scores generated images only — no dataset needed)
     reals = None

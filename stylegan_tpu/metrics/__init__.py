@@ -15,9 +15,13 @@ from .fid import (compute_fid, compute_inception_score, fid_from_features,
                   frechet_distance, inception_score_from_probs,
                   inception_v3_init, load_inception_weights, make_feature_fn,
                   make_probs_fn)
+from .ppl import (load_lpips_weights, lpips_vgg_init, make_lpips_fn,
+                  make_pyramid_distance, ppl_samples, ppl_score)
 from .swd import sliced_wasserstein_distance
 
 __all__ = ["sliced_wasserstein_distance", "compute_fid", "fid_from_features",
            "frechet_distance", "inception_v3_init", "load_inception_weights",
            "make_feature_fn", "compute_inception_score",
-           "inception_score_from_probs", "make_probs_fn"]
+           "inception_score_from_probs", "make_probs_fn",
+           "load_lpips_weights", "lpips_vgg_init", "make_lpips_fn",
+           "make_pyramid_distance", "ppl_samples", "ppl_score"]

@@ -159,6 +159,90 @@ class TestInceptionPipeline:
         with pytest.raises(ValueError, match="schema"):
             compute_inception_score(fakes, nf_path, batch_size=4)
 
+    def test_ppl_interpolation_math(self):
+        """slerp endpoints reproduce the inputs; slerp stays on the sphere
+        for unit vectors; the score reduction clips the 1% tails."""
+        from stylegan_tpu.metrics.ppl import lerp, ppl_score, slerp
+        rs = np.random.RandomState(7)
+        a = rs.randn(4, 16).astype(np.float32)
+        b = rs.randn(4, 16).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), a, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(slerp(a, b, 1.0)), b, atol=1e-5)
+        a_u = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b_u = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        mid = np.asarray(slerp(a_u, b_u, 0.5))
+        np.testing.assert_allclose(np.linalg.norm(mid, axis=-1), 1.0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lerp(a, b, 0.5)), (a + b) / 2,
+                                   atol=1e-6)
+
+        # one huge outlier among 200 values must be clipped away
+        d = np.ones(200)
+        d[0] = 1e9
+        assert abs(ppl_score(d) - 1.0) < 1e-9
+
+    def test_ppl_crop_and_resize(self):
+        from stylegan_tpu.metrics.ppl import crop_and_resize
+        big = jnp.arange(2 * 1024 * 1024 * 3, dtype=jnp.float32) \
+            .reshape(2, 1024, 1024, 3)
+        out = crop_and_resize(big)
+        assert out.shape == (2, 256, 256, 3)
+        small = jnp.zeros((2, 32, 32, 3))
+        assert crop_and_resize(small).shape == (2, 32, 32, 3)
+
+    def test_lpips_schema_and_distance(self, tmp_path):
+        """LPIPS pipeline on synthetic weights: d(x, x) == 0, d(x, y) > 0,
+        and the schema check rejects malformed files."""
+        from stylegan_tpu.metrics import (load_lpips_weights, lpips_vgg_init,
+                                          make_lpips_fn)
+        weights = lpips_vgg_init(jax.random.PRNGKey(3))
+        path = str(tmp_path / "lpips.npz")
+        np.savez(path, **weights)
+        fn = make_lpips_fn(load_lpips_weights(path))
+        rs = np.random.RandomState(8)
+        x = rs.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+        y = rs.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+        d_same = np.asarray(fn(x, x))
+        d_diff = np.asarray(fn(x, y))
+        assert np.allclose(d_same, 0.0, atol=1e-9)
+        assert (d_diff > 0).all()
+
+        bad = {k: v for k, v in weights.items() if k != "lin4.weight"}
+        bad_path = str(tmp_path / "bad.npz")
+        np.savez(bad_path, **bad)
+        with pytest.raises(ValueError, match="schema"):
+            load_lpips_weights(bad_path)
+
+    def test_ppl_end_to_end_smoke(self):
+        """Whole PPL harness on a tiny generator, both spaces, pyramid
+        distance: finite, non-negative, deterministic."""
+        from stylegan_tpu.metrics import (make_pyramid_distance, ppl_samples,
+                                          ppl_score)
+        from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
+                                         SynthesisConfig, generator_init)
+        res = 32
+        cfg = GeneratorConfig(
+            resolution=res, latent_size=32, dlatent_size=32,
+            truncation_psi=0.7,
+            mapping=MappingConfig(latent_size=32, dlatent_size=32,
+                                  mapping_fmaps=32, mapping_layers=2,
+                                  dlatent_broadcast=(res.bit_length() - 2) * 2),
+            synthesis=SynthesisConfig(resolution=res, dlatent_size=32,
+                                      fmap_base=64, fmap_max=32,
+                                      blur_filter=(1, 2, 1),
+                                      structure="linear"))
+        params = generator_init(jax.random.PRNGKey(0), cfg)
+        dist = make_pyramid_distance()
+        for space in ("w", "z"):
+            d1 = ppl_samples(cfg, params, dist, num_samples=8, batch_size=4,
+                             key=jax.random.PRNGKey(1), space=space)
+            d2 = ppl_samples(cfg, params, dist, num_samples=8, batch_size=4,
+                             key=jax.random.PRNGKey(1), space=space)
+            assert d1.shape == (8,)
+            assert np.isfinite(d1).all() and (d1 >= 0).all()
+            np.testing.assert_array_equal(d1, d2)
+            assert np.isfinite(ppl_score(d1))
+
     def test_compute_fid_end_to_end(self, weights, tmp_path):
         """The whole FID pipeline on synthetic weights: same set -> ~0,
         disjoint distributions -> clearly larger."""

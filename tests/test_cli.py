@@ -195,6 +195,59 @@ sched:
     assert os.listdir(os.path.join(out_dir, "samples"))
 
 
+def test_train_cli_perf_knobs(tmp_path):
+    """train.py with every TPU perf knob in the yaml (bf16 + packed auto +
+    lazy R1 + remat, as in configs/sample_ffhq_1024_tpu_perf.yaml): the
+    whole progressive run trains and checkpoints through the CLI."""
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    rs = np.random.RandomState(2)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 255, (16, 16, 3), dtype=np.uint8)) \
+            .save(data_dir / f"{i}.png")
+    out_dir = tmp_path / "out_perf"
+    cfg = tmp_path / "toy_perf.yaml"
+    cfg.write_text(f"""
+output_dir: '{out_dir}'
+structure: 'linear'
+feedback_factor: 1
+checkpoint_factor: 1
+num_works: 2
+num_samples: 4
+loss: 'logistic'
+r1_interval: 2
+precision:
+  activations: 'bfloat16'
+ops:
+  packed: 'auto'
+  remat: True
+model:
+  gen:
+    mapping_layers: 2
+dataset:
+  img_dir: '{data_dir}'
+  folder: False
+  resolution: 16
+sched:
+  epochs: [1, 1, 1]
+  batch_sizes: [4, 4, 4]
+  fade_in_percentage: [50, 50, 50]
+""")
+    _run(["train.py", "--config", str(cfg), "--num_devices", "1"])
+    models = os.listdir(os.path.join(out_dir, "models"))
+    assert "GAN_GEN_2_1.npz" in models and "GAN_GEN_SHADOW_2_1.npz" in models
+
+
+def test_eval_metrics_cli_ppl(toy_run, tmp_path):
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
+    r = _run(["eval_metrics.py", "--config", toy_run["cfg"],
+              "--generator_file", gen, "--num_samples", "4", "--batch", "2",
+              "--metric", "ppl"])
+    import json
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert np.isfinite(out["ppl"]) and out["distance"] == "pyramid-l2"
+
+
 def test_eval_metrics_cli_swd(toy_run, tmp_path):
     gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
     r = _run(["eval_metrics.py", "--config", toy_run["cfg"],

@@ -39,6 +39,10 @@ def parse_arguments():
                         help="class label for conditional models (the "
                              "reference CLI cannot sample conditional "
                              "generators at all)")
+    parser.add_argument("--spatial_devices", type=int, default=1,
+                        help="shard each image's feature maps over N devices "
+                             "(GSPMD height sharding; serving path, implies "
+                             "--eval; see stylegan_tpu/parallel/spatial.py)")
     return parser.parse_args()
 
 
@@ -78,12 +82,24 @@ def main(args):
                 "conditional model: pass --class_id"
             labels = jnp.full((1,), args.class_id, jnp.int32)
 
-        @jax.jit
-        def sample(z, k):
-            out = generator_apply(gen_cfg, params, z, depth=out_depth,
-                                  alpha=1.0, rng=k, train=not args.eval,
-                                  labels=labels)
-            return out.images
+        if args.spatial_devices > 1:
+            # serving path: one image's activations H-sharded over N chips
+            # (eval semantics — the spatial fn is deterministic/truncation-free)
+            assert labels is None, \
+                "--spatial_devices does not support conditional models yet"
+            from stylegan_tpu.parallel import (build_spatial_sample_fn,
+                                               create_spatial_mesh)
+            mesh = create_spatial_mesh(args.spatial_devices)
+            spatial_fn = build_spatial_sample_fn(gen_cfg, mesh,
+                                                 depth=out_depth)
+            sample = lambda z, k: spatial_fn(params, z, k)
+        else:
+            @jax.jit
+            def sample(z, k):
+                out = generator_apply(gen_cfg, params, z, depth=out_depth,
+                                      alpha=1.0, rng=k, train=not args.eval,
+                                      labels=labels)
+                return out.images
 
         print("Generating scale synchronized images ...")
         for img_num in range(1, args.num_samples + 1):

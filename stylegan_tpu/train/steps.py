@@ -220,6 +220,50 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     return jax.jit(full, donate_argnums=(0,) if donate else ())
 
 
+def build_gspmd_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
+                           mesh: Mesh, loss: str = "relativistic-hinge",
+                           donate: bool = True, **kw):
+    """Fused train step over a 2-D ('data', 'spatial') mesh via GSPMD.
+
+    The deep progressive stages train at global batches of 4/2, which caps
+    the shard_map data axis at 4/2 chips exactly where the FLOPs live.  This
+    variant shards reals over BOTH batch and height and lets XLA's GSPMD
+    partitioner place every internal op: convs become spatially partitioned
+    with halo exchange, loss reductions and minibatch-stddev reduce over the
+    *global* batch automatically (the reference's per-minibatch semantics,
+    with no axis_name plumbing), and parameter gradients all-reduce to
+    replicated updates.  The traced program is exactly the single-device
+    step body — sharding is pure annotation (the scaling-book recipe).
+
+    The mesh must carry axes named 'data' and 'spatial'; batch must divide
+    mesh.shape['data'] and the depth's resolution must divide
+    4 * mesh.shape['spatial'].  Signature matches build_train_step's
+    single-device form: step(state, reals, z, key, alpha[, labels]).
+    """
+    from jax.sharding import NamedSharding
+    assert "data" in mesh.axis_names and "spatial" in mesh.axis_names, \
+        f"gspmd mesh needs ('data', 'spatial') axes, got {mesh.axis_names}"
+    res = 2 ** (depth + 2)
+    n_sp = mesh.shape["spatial"]
+    assert res % (n_sp * 4) == 0, \
+        (f"depth-{depth} resolution {res} must divide over {n_sp} spatial "
+         f"shards with at least 4 rows each")
+
+    inner = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                             loss=loss, mesh=None, donate=False, **kw)
+    # re-jit the same traced body with sharded arguments; GSPMD propagates
+    fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
+    repl = NamedSharding(mesh, P())
+    reals_sh = NamedSharding(mesh, P("data", "spatial", None, None))
+    z_sh = NamedSharding(mesh, P("data", None))
+    conditional = bool(kw.get("conditional", False))
+    in_sh = (repl, reals_sh, z_sh, repl, repl)
+    if conditional:
+        in_sh = in_sh + (NamedSharding(mesh, P("data")),)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
 def build_d_step(gen_cfg, dis_cfg, d_tx, *, depth: int,
                  loss: str = "relativistic-hinge", d_repeats: int = 1,
                  conditional: bool = False, drift: float = 0.001,

@@ -71,3 +71,81 @@ def test_spatial_rejects_too_many_shards():
 def test_spatial_hbm_estimate():
     from stylegan_tpu.parallel import spatial_hbm_estimate
     assert spatial_hbm_estimate(1024, 16, 8) == 1024 * 1024 * 16 * 2 / 8
+
+
+def test_gspmd_train_step_matches_single_device():
+    """2-D (data x spatial) GSPMD train step == the single-device step on
+    the same inputs — the deep-tail scaling path (batch 2 over 8 chips)
+    is a pure layout choice.  Same traced body, so RNG draws, global-batch
+    loss means and global mbstd groups are identical by construction;
+    only float reassociation from partitioned reductions differs."""
+    from jax.sharding import Mesh
+    from stylegan_tpu.models import discriminator_init
+    from stylegan_tpu.models.configs import DiscriminatorConfig
+    from stylegan_tpu.train import (build_gspmd_train_step, build_train_step,
+                                    create_train_state, make_d_optimizer,
+                                    make_g_optimizer)
+
+    cfg = make_cfg()
+    dis_cfg = DiscriminatorConfig(resolution=RES, fmap_base=256, fmap_max=64,
+                                  blur_filter=(1, 2, 1), structure="linear")
+    depth = dis_cfg.depth - 1  # 64^2: 4 spatial shards x 16 rows
+
+    # SGD, not Adam: Adam's rsqrt(v) amplifies float-reassociation noise on
+    # near-zero gradients into +-lr sign flips; with SGD the parameter delta
+    # IS lr * grad, so this directly asserts gradient fidelity through the
+    # partitioned backward (incl. R1's grad-of-grad)
+    import optax
+
+    def make_state():
+        g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
+        from stylegan_tpu.models import generator_init
+        return create_train_state(
+            generator_init(jax.random.PRNGKey(10), cfg),
+            discriminator_init(jax.random.PRNGKey(11), dis_cfg),
+            g_tx, d_tx, use_ema=True), g_tx, d_tx
+
+    batch = 2  # the deep-tail case data parallelism cannot spread
+    reals = jax.random.normal(jax.random.PRNGKey(12), (batch, RES, RES, 3))
+    z = jax.random.normal(jax.random.PRNGKey(13), (batch, 32))
+    key, alpha = jax.random.PRNGKey(14), jnp.float32(0.7)
+
+    state, g_tx, d_tx = make_state()
+    single = build_train_step(cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                              loss="logistic", donate=False)
+    ref_state, ref_m = single(state, reals, z, key, alpha)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "spatial"))
+    state2, g_tx2, d_tx2 = make_state()
+    step = build_gspmd_train_step(cfg, dis_cfg, g_tx2, d_tx2, depth=depth,
+                                  mesh=mesh, loss="logistic", donate=False)
+    got_state, got_m = step(state2, reals, z, key, alpha)
+
+    np.testing.assert_allclose(float(got_m["d_loss"]),
+                               float(ref_m["d_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(got_m["g_loss"]),
+                               float(ref_m["g_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.g_params),
+                    jax.tree_util.tree_leaves(ref_state.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.d_params),
+                    jax.tree_util.tree_leaves(ref_state.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+
+
+def test_gspmd_step_rejects_bad_mesh():
+    from jax.sharding import Mesh
+    from stylegan_tpu.models.configs import DiscriminatorConfig
+    from stylegan_tpu.train import (build_gspmd_train_step, make_d_optimizer,
+                                    make_g_optimizer)
+    cfg = make_cfg()
+    dis_cfg = DiscriminatorConfig(resolution=RES, fmap_base=256, fmap_max=64,
+                                  structure="linear")
+    mesh_1d = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    with pytest.raises(AssertionError, match="spatial"):
+        build_gspmd_train_step(cfg, dis_cfg, make_g_optimizer(),
+                               make_d_optimizer(), depth=dis_cfg.depth - 1,
+                               mesh=mesh_1d)

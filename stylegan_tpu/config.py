@@ -225,6 +225,9 @@ def get_default_cfg() -> ConfigNode:
     c.precision.params = "float32"
     c.parallel = ConfigNode()
     c.parallel.data_axis = "auto"          # 'auto' = all local devices
+    # shard image height over up to N idle chips at the deep progressive
+    # stages (2-D GSPMD step; see docs/DESIGN.md "2-D training").  0 = off.
+    c.parallel.spatial = 0
     c.ops = ConfigNode()
     c.ops.use_pallas = "auto"              # 'auto' | True | False
     # space-to-depth packed execution of the low-channel stages (2-3x faster

@@ -41,7 +41,7 @@ class StyleGAN:
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
                  activations_dtype="float32", packed_layout=False,
-                 r1_interval=1, remat_blocks=False):
+                 r1_interval=1, remat_blocks=False, spatial_devices=0):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
         divisibility), or None.  max_devices: adaptive data parallelism —
         each step uses the largest mesh (<= max_devices) that its global
@@ -62,6 +62,10 @@ class StyleGAN:
         self.ema_decay = ema_decay
         self.mesh = mesh
         self.max_devices = max_devices
+        # deep-tail scaling: when the (mbstd-capped) data axis leaves chips
+        # idle, shard the image height over up to `spatial_devices` of them
+        # via the 2-D GSPMD step (steps.build_gspmd_train_step).  0/1 = off.
+        self.spatial_devices = int(spatial_devices or 0)
         self._mesh_cache = {}
         # bf16 activations / f32 params+optimizer: params stay f32 and are
         # cast at apply time (ops cast weights to the activation dtype);
@@ -152,6 +156,32 @@ class StyleGAN:
             self._mesh_cache[n] = create_mesh(n)
         return self._mesh_cache[n]
 
+    def _mesh_for_step(self, batch_size: int, depth: int):
+        """Mesh for the fused train step at this (batch, depth): the 1-D
+        data mesh, upgraded to a 2-D (data, spatial) mesh when
+        spatial_devices is set and the data axis leaves chips idle (the
+        deep progressive tail, where batch 4/2 caps data parallelism)."""
+        data_mesh = self._mesh_for_batch(batch_size)
+        if (self.spatial_devices <= 1 or self.mesh is not None
+                or not self.max_devices):
+            return data_mesh
+        data_n = data_mesh.size if data_mesh is not None else 1
+        budget = min(self.spatial_devices, self.max_devices // data_n)
+        res = 2 ** (depth + 2)
+        sp_n = budget
+        while sp_n > 1 and res % (sp_n * 4) != 0:
+            sp_n -= 1
+        if sp_n <= 1:
+            return data_mesh
+        key = ("sp", data_n, sp_n)
+        if key not in self._mesh_cache:
+            import numpy as _np
+            from jax.sharding import Mesh
+            devs = _np.asarray(jax.devices()[:data_n * sp_n])
+            self._mesh_cache[key] = Mesh(devs.reshape(data_n, sp_n),
+                                         ("data", "spatial"))
+        return self._mesh_cache[key]
+
     def _ensure_placement(self, mesh):
         """Re-place the train state when the adaptive mesh changes (arrays
         replicated over an 8-device mesh can't feed a 2-device shard_map);
@@ -166,22 +196,35 @@ class StyleGAN:
         self._last_mesh = mesh
 
     def _get_step(self, depth: int, mesh, with_r1: bool = True):
-        """Compiled fused step for (depth, mesh size).  Under lazy R1 two
+        """Compiled fused step for (depth, mesh).  Under lazy R1 two
         programs exist per key: the regularized one (gamma * interval) and a
-        gamma=0 one with no grad-of-grad at all."""
+        gamma=0 one with no grad-of-grad at all.  A 2-D (data, spatial)
+        mesh selects the GSPMD step (note: its minibatch-stddev groups span
+        the global batch — the reference's exact per-minibatch semantics —
+        whereas the shard_map data path keeps them shard-local)."""
         lazy = self.r1_interval > 1
-        key = (depth, mesh.size if mesh is not None else 1,
-               with_r1 if lazy else True)
+        spatial = mesh is not None and "spatial" in mesh.axis_names
+        mesh_key = (("gspmd",) + tuple(mesh.devices.shape) if spatial
+                    else (mesh.size if mesh is not None else 1))
+        key = (depth, mesh_key, with_r1 if lazy else True)
         if key not in self._steps:
             r1_gamma = None
             if lazy:
                 r1_gamma = 10.0 * self.r1_interval if with_r1 else 0.0
-            self._steps[key] = build_train_step(
-                self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx, depth=depth,
-                loss=self.loss_name, d_repeats=self.d_repeats,
-                use_ema=self.use_ema, ema_decay=self.ema_decay,
-                conditional=self.conditional, drift=self.drift,
-                mesh=mesh, r1_gamma=r1_gamma)
+            common = dict(depth=depth, loss=self.loss_name,
+                          d_repeats=self.d_repeats, use_ema=self.use_ema,
+                          ema_decay=self.ema_decay,
+                          conditional=self.conditional, drift=self.drift,
+                          r1_gamma=r1_gamma)
+            if spatial:
+                from .steps import build_gspmd_train_step
+                self._steps[key] = build_gspmd_train_step(
+                    self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx,
+                    mesh=mesh, **common)
+            else:
+                self._steps[key] = build_train_step(
+                    self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx,
+                    mesh=mesh, **common)
         return self._steps[key]
 
     def _get_sample_fn(self, depth: int):
@@ -270,7 +313,7 @@ class StyleGAN:
                 "multi-host training requires a fixed global mesh "
                 "(StyleGAN(mesh=create_mesh()) after initialize_distributed)"
                 " — adaptive max_devices meshes are single-process only")
-        mesh = self._mesh_for_batch(global_batch)
+        mesh = self._mesh_for_step(global_batch, depth)
         self._ensure_placement(mesh)
         with_r1 = (self._update_count % self.r1_interval) == 0
         self._update_count += 1

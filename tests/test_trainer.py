@@ -256,6 +256,34 @@ def test_adaptive_mesh_training(tmp_path):
     assert (1, 8, True) in trainer._steps and (1, 1, True) in trainer._steps
 
 
+def test_spatial_devices_deep_tail(tmp_path):
+    """spatial_devices: a batch-2 step (data parallelism capped at 1 by the
+    mbstd group) upgrades to a 2-D (data, spatial) GSPMD mesh and trains;
+    a batch-32 step at the same depth keeps the plain 1-D data mesh."""
+    trainer = make_trainer(str(tmp_path), max_devices=8, spatial_devices=4)
+    rs = np.random.RandomState(5)
+
+    d, g = trainer.train_on_batch(
+        rs.randn(2, RES, RES, 3).astype(np.float32), depth=2, alpha=1.0)
+    assert np.isfinite(d) and np.isfinite(g)
+    mesh = trainer._mesh_for_step(2, 2)
+    assert mesh is not None and "spatial" in mesh.axis_names
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == \
+        {"data": 1, "spatial": 4}
+
+    d, g = trainer.train_on_batch(
+        rs.randn(32, RES, RES, 3).astype(np.float32), depth=2, alpha=1.0)
+    assert np.isfinite(d) and np.isfinite(g)
+    mesh32 = trainer._mesh_for_step(32, 2)
+    # batch 32 / group 4 -> full 8-device data mesh, no idle chips to give
+    # the spatial axis
+    assert mesh32 is not None and mesh32.axis_names == ("data",)
+    assert mesh32.size == 8
+
+    for leaf in jax.tree_util.tree_leaves(trainer.state.g_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_adaptive_mesh_respects_stddev_group():
     """The adaptive mesh keeps per-device batch >= mbstd_group_size so the
     shard-local minibatch-stddev statistic never degenerates to group 1."""

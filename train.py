@@ -112,7 +112,8 @@ def main():
                          activations_dtype=opt.precision.activations,
                          packed_layout=packed,
                          r1_interval=getattr(opt, "r1_interval", 1),
-                         remat_blocks=getattr(opt.ops, "remat", False))
+                         remat_blocks=getattr(opt.ops, "remat", False),
+                         spatial_devices=getattr(opt.parallel, "spatial", 0))
 
     start_depth = args.start_depth
     if args.resume is not None:

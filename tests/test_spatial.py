@@ -52,6 +52,34 @@ def test_spatial_matches_single_device(n_shards):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_spatial_with_packed_layout():
+    """Spatial sharding composes with the space-to-depth packed layout (the
+    real 1024^2 serving configuration): packed stages (res >= 128) reshape
+    the sharded H axis, and GSPMD reshards through it correctly."""
+    res = 128
+    cfg = GeneratorConfig(
+        resolution=res, latent_size=32, dlatent_size=32, truncation_psi=0.7,
+        mapping=MappingConfig(latent_size=32, dlatent_size=32,
+                              mapping_fmaps=32, mapping_layers=2,
+                              dlatent_broadcast=(res.bit_length() - 2) * 2),
+        synthesis=SynthesisConfig(resolution=res, dlatent_size=32,
+                                  fmap_base=128, fmap_max=32,
+                                  blur_filter=(1, 2, 1), structure="linear",
+                                  packed=True))
+    assert cfg.synthesis.packed_block(cfg.synthesis.depth - 2)
+    params = generator_init(jax.random.PRNGKey(3), cfg)
+    depth = cfg.synthesis.depth - 1
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 32))
+    key = jax.random.PRNGKey(5)
+
+    ref = generator_apply(cfg, params, z, depth=depth, alpha=1.0, rng=key,
+                          train=False).images
+    mesh = create_spatial_mesh(2)
+    out = build_spatial_sample_fn(cfg, mesh, depth=depth)(params, z, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_spatial_rejects_too_many_shards():
     cfg = make_cfg()
     mesh = create_spatial_mesh(8)  # 4x4 base stage cannot split 8 ways at 16

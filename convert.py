@@ -8,6 +8,13 @@ embedded graph-building code.
   python convert.py --config configs/sample_ffhq_1024.yaml \
       --input_file karras2019stylegan-ffhq-1024x1024.pkl \
       --output_file ffhq_1024_gen.npz
+
+The reverse direction (beyond the reference): --export_pth turns one of our
+`.npz` checkpoints into a torch state_dict `.pth` directly loadable by the
+reference's Generator/Discriminator, so work done here ports back.
+
+  python convert.py --config ... --export_pth --input_file gen.npz \
+      --output_file gen.pth [--network dis]
 """
 
 import argparse
@@ -31,6 +38,11 @@ def parse_arguments():
     parser.add_argument("--use_current", action="store_true",
                         help="convert the snapshot generator G instead of "
                              "the averaged Gs")
+    parser.add_argument("--export_pth", action="store_true",
+                        help="reverse direction: our .npz checkpoint -> a "
+                             "reference-loadable torch state_dict .pth")
+    parser.add_argument("--network", choices=["gen", "dis"], default="gen",
+                        help="which network an --export_pth input holds")
     return parser.parse_args()
 
 
@@ -47,6 +59,9 @@ def main():
     from stylegan_tpu.io.checkpoint import save_params
     from stylegan_tpu.models import generator_config_from_cfg, generator_init
 
+    if args.export_pth:
+        return export_pth(args, opt)
+
     print("Creating generator object ...")
     gen_cfg = generator_config_from_cfg(opt)
     params = generator_init(jax.random.PRNGKey(0), gen_cfg)
@@ -60,6 +75,45 @@ def main():
                           "resolution": gen_cfg.resolution})
     print("Saved:", args.output_file)
     print("Done.")
+
+
+def export_pth(args, opt):
+    """Our .npz -> reference torch state_dict .pth (the reverse of import)."""
+    import jax
+    import torch
+    from stylegan_tpu.convert import (load_discriminator_file,
+                                      load_generator_file)
+    from stylegan_tpu.convert.torch_params import (
+        discriminator_state_dict_from_params,
+        generator_state_dict_from_params)
+    from stylegan_tpu.models import (discriminator_config_from_cfg,
+                                     discriminator_init,
+                                     generator_config_from_cfg,
+                                     generator_init)
+
+    print("Loading checkpoint:", args.input_file)
+    if args.network == "gen":
+        cfg = generator_config_from_cfg(opt)
+        params = load_generator_file(
+            generator_init(jax.random.PRNGKey(0), cfg), args.input_file)
+        sd = generator_state_dict_from_params(
+            params, blur_filter=cfg.synthesis.blur_filter)
+    else:
+        cfg = discriminator_config_from_cfg(opt)
+        params = load_discriminator_file(
+            discriminator_init(jax.random.PRNGKey(0), cfg), args.input_file)
+        sd = discriminator_state_dict_from_params(
+            params, blur_filter=cfg.blur_filter or (1, 2, 1))
+    torch.save({k: torch.from_numpy(np_ascontig(v)) for k, v in sd.items()},
+               args.output_file)
+    print(f"Saved reference-loadable {args.network} state_dict "
+          f"({len(sd)} tensors): {args.output_file}")
+    print("Done.")
+
+
+def np_ascontig(a):
+    import numpy as np
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float32))
 
 
 if __name__ == "__main__":

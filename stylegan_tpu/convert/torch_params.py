@@ -157,13 +157,38 @@ def _load_entries(entries, state_dict, strict=False):
 # public API
 # ---------------------------------------------------------------------------
 
-def generator_state_dict_from_params(params) -> dict:
-    """Our generator pytree -> reference-style state_dict (numpy arrays)."""
-    return _state_dict_from_entries(_generator_entries(params))
+def _blur_buffer(blur_filter):
+    """The reference BlurLayer's registered buffer (CustomLayers.py:251-263):
+    normalized outer product of the 1-D filter, shape (1, 1, k, k).  A
+    config-derived constant, not a learned weight — included in exports so
+    `load_state_dict(strict=True)` sees a complete reference state_dict."""
+    f = np.asarray(blur_filter, np.float32)
+    k = f[:, None] * f[None, :]
+    return (k / k.sum())[None, None]
 
 
-def discriminator_state_dict_from_params(params) -> dict:
-    return _state_dict_from_entries(_discriminator_entries(params))
+def generator_state_dict_from_params(params, blur_filter=None) -> dict:
+    """Our generator pytree -> reference-style state_dict (numpy arrays).
+
+    blur_filter (e.g. (1, 2, 1)) additionally emits each growth block's
+    `conv0_up.intermediate.kernel` blur buffer (Blocks.py:70-76)."""
+    sd = _state_dict_from_entries(_generator_entries(params))
+    if blur_filter:
+        k = _blur_buffer(blur_filter)
+        for i in range(len(params["g_synthesis"]["blocks"])):
+            sd[f"g_synthesis.blocks.{i}.conv0_up.intermediate.kernel"] = k
+    return sd
+
+
+def discriminator_state_dict_from_params(params, blur_filter=(1, 2, 1)) -> dict:
+    """blur_filter emits each block's `blur.kernel` buffer — the reference D
+    always blurs, defaulting to (1, 2, 1) (Blocks.py:138-143)."""
+    sd = _state_dict_from_entries(_discriminator_entries(params))
+    if blur_filter:
+        k = _blur_buffer(blur_filter)
+        for i in range(len(params["blocks"])):
+            sd[f"blocks.{i}.blur.kernel"] = k
+    return sd
 
 
 def generator_params_from_state_dict(params, state_dict, strict=False):

@@ -238,6 +238,27 @@ sched:
     assert "GAN_GEN_2_1.npz" in models and "GAN_GEN_SHADOW_2_1.npz" in models
 
 
+def test_convert_export_pth_loads_into_reference(toy_run, tmp_path):
+    """convert.py --export_pth: our trained .npz becomes a torch state_dict
+    the reference Generator accepts with strict=True key/shape matching."""
+    import torch
+    from reference_utils import install_torchvision_stub
+    install_torchvision_stub()
+    try:
+        from models.GAN import Generator as TorchGenerator
+    except ImportError:
+        pytest.skip("reference repo not mounted")
+
+    gen = os.path.join(toy_run["out"], "models", "GAN_GEN_2_1.npz")
+    out = str(tmp_path / "gen.pth")
+    _run(["convert.py", "--config", toy_run["cfg"], "--export_pth",
+          "--input_file", gen, "--output_file", out])
+    sd = torch.load(out, weights_only=True)
+    tg = TorchGenerator(resolution=16, latent_size=512, mapping_layers=2,
+                        blur_filter=[1, 2, 1])
+    tg.load_state_dict(sd, strict=True)
+
+
 def test_eval_metrics_cli_ppl(toy_run, tmp_path):
     gen = os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz")
     r = _run(["eval_metrics.py", "--config", toy_run["cfg"],

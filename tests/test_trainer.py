@@ -148,7 +148,8 @@ def test_full_state_resume(tmp_path):
 
     t2 = make_trainer(str(tmp_path))
     meta = t2.restore_full_state(path)
-    assert meta == {"depth": 2, "epoch": 3}
+    assert meta["depth"] == 2 and meta["epoch"] == 3
+    assert meta["update_count"] == 1  # lazy-R1 phase rides along
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state),
                     jax.tree_util.tree_leaves(t2.state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -92,7 +92,12 @@ def main(args):
             mesh = create_spatial_mesh(args.spatial_devices)
             spatial_fn = build_spatial_sample_fn(gen_cfg, mesh,
                                                  depth=out_depth)
-            sample = lambda z, k: spatial_fn(params, z, k)
+            # replicate params over the mesh ONCE — passing host-resident
+            # params each call would re-broadcast ~100 MB per sample
+            from jax.sharding import NamedSharding, PartitionSpec
+            params_repl = jax.device_put(
+                params, NamedSharding(mesh, PartitionSpec()))
+            sample = lambda z, k: spatial_fn(params_repl, z, k)
         else:
             @jax.jit
             def sample(z, k):

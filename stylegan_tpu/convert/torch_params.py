@@ -24,8 +24,10 @@ Layout transforms:
   1-D / embeddings: unchanged
 
 Blur kernels are registered *buffers* in the reference (CustomLayers.py:263)
-and are not parameters here (static from config); they are skipped in both
-directions, matching the reference's own strict=False load (convert.py:137).
+and are not parameters here (static from config).  Imports skip them
+(matching the reference's own strict=False load, convert.py:137); exports
+synthesize them from the blur filter (`_blur_buffer`) so the resulting
+state_dict loads with strict=True.
 """
 
 from __future__ import annotations

@@ -51,10 +51,13 @@ def build_spatial_sample_fn(gen_cfg, mesh: Mesh, *, depth: int,
     """Compiled generator forward with every activation H-sharded over
     `mesh`'s 'spatial' axis.
 
-    Returns fn(params, z, key[, labels]) -> images, where images come back
-    H-sharded (a NamedSharding over P(None, 'spatial')); np.asarray
-    gathers them to host.  The output resolution 2^(depth+2) must divide by
-    the mesh size times 4 so every stage (min 4x4) splits evenly.
+    Returns fn(params, z, key) -> images (conditional models are not
+    supported on this path), where images come back H-sharded (a
+    NamedSharding over P(None, 'spatial')); np.asarray gathers them to
+    host.  The output resolution 2^(depth+2) must divide by 4x the mesh
+    size — a conservative bound keeping >=4 output rows per shard; GSPMD
+    chooses internal shardings per stage itself (small early stages may be
+    replicated or padded), so only the output layout needs to divide.
 
     GSPMD propagates the output sharding backward through the network:
     convs become spatially-partitioned convs with halo exchange, elementwise

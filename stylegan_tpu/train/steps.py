@@ -80,7 +80,8 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                      conditional: bool = False, drift: float = 0.001,
                      mesh: Optional[Mesh] = None,
                      donate: bool = True, shard_rng: bool = True,
-                     r1_gamma: Optional[float] = None):
+                     r1_gamma: Optional[float] = None,
+                     _return_body: bool = False):
     """Returns step(state, reals, z, key, alpha[, labels]) -> (state, metrics).
 
     reals: (B, R, R, C) at the *final* config resolution (device-side
@@ -217,6 +218,8 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                              out_specs=(state_spec, P()),
                              check_vma=False)
 
+    if _return_body:
+        return full
     return jax.jit(full, donate_argnums=(0,) if donate else ())
 
 
@@ -249,10 +252,10 @@ def build_gspmd_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         (f"depth-{depth} resolution {res} must divide over {n_sp} spatial "
          f"shards with at least 4 rows each")
 
-    inner = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
-                             loss=loss, mesh=None, donate=False, **kw)
-    # re-jit the same traced body with sharded arguments; GSPMD propagates
-    fn = inner.__wrapped__ if hasattr(inner, "__wrapped__") else inner
+    # the raw (un-jitted) single-device step body, jitted here with sharded
+    # arguments; GSPMD propagates the shardings through it
+    fn = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                          loss=loss, mesh=None, _return_body=True, **kw)
     repl = NamedSharding(mesh, P())
     reals_sh = NamedSharding(mesh, P("data", "spatial", None, None))
     z_sh = NamedSharding(mesh, P("data", None))

@@ -166,7 +166,11 @@ class StyleGAN:
                 or not self.max_devices):
             return data_mesh
         data_n = data_mesh.size if data_mesh is not None else 1
-        budget = min(self.spatial_devices, self.max_devices // data_n)
+        # cap by REAL device count too: max_devices/--num_devices passes
+        # through uncapped, and a silently truncated device list would fail
+        # later with an obscure reshape error instead of a clear bound here
+        avail = min(self.max_devices, len(jax.devices()))
+        budget = min(self.spatial_devices, avail // data_n)
         res = 2 ** (depth + 2)
         sp_n = budget
         while sp_n > 1 and res % (sp_n * 4) != 0:

@@ -14,8 +14,7 @@ from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
 from stylegan_tpu.parallel import (build_spatial_sample_fn,
                                    create_spatial_mesh)
 
-RES = 64  # 8 spatial shards x 8 rows at the final stage; 16 rows at 4x4? no:
-# the 4x4 base stage needs res % (n*4) == 0 -> use 4 shards for RES 64
+RES = 64  # supports up to 4 spatial shards (res % (n*4) == 0)
 
 
 def make_cfg(packed=False):
@@ -81,8 +80,7 @@ def test_spatial_with_packed_layout():
 
 
 def test_spatial_rejects_too_many_shards():
-    cfg = make_cfg()
-    mesh = create_spatial_mesh(8)  # 4x4 base stage cannot split 8 ways at 16
+    mesh = create_spatial_mesh(8)  # res 16 cannot split 8 ways
     with pytest.raises(AssertionError, match="spatial shards"):
         build_spatial_sample_fn(
             GeneratorConfig(
@@ -111,8 +109,7 @@ def test_gspmd_train_step_matches_single_device():
     from stylegan_tpu.models import discriminator_init
     from stylegan_tpu.models.configs import DiscriminatorConfig
     from stylegan_tpu.train import (build_gspmd_train_step, build_train_step,
-                                    create_train_state, make_d_optimizer,
-                                    make_g_optimizer)
+                                    create_train_state)
 
     cfg = make_cfg()
     dis_cfg = DiscriminatorConfig(resolution=RES, fmap_base=256, fmap_max=64,

@@ -71,6 +71,13 @@ def main():
     from stylegan_tpu.models import (generator_apply, generator_init,
                                      generator_config_from_cfg)
 
+    # pure argument validation — fail before any dataset IO or generation
+    if args.metric in ("fid", "is") and not args.inception_weights:
+        raise SystemExit(
+            f"--metric {args.metric} requires --inception_weights "
+            "<inception_v3.npz>; without pretrained weights use the "
+            "air-gap-safe default --metric swd")
+
     gen_cfg = generator_config_from_cfg(opt)
     params = generator_init(jax.random.PRNGKey(0), gen_cfg)
     params = load_generator_file(params, args.generator_file)
@@ -125,13 +132,6 @@ def main():
                   if opt.conditional else None)
         fakes.append(np.asarray(sample(z, ks, labels)))
     fakes = np.concatenate(fakes)[:args.num_samples]
-
-    if args.metric in ("fid", "is"):
-        if not args.inception_weights:
-            raise SystemExit(
-                f"--metric {args.metric} requires --inception_weights "
-                "<inception_v3.npz>; without pretrained weights use the "
-                "air-gap-safe default --metric swd")
 
     if args.metric == "is":
         from stylegan_tpu.metrics import compute_inception_score

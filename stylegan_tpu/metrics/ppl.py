@@ -68,13 +68,21 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 # ---------------------------------------------------------------------------
 
 def slerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
-    """Spherical interpolation along the last axis (paper appendix)."""
+    """Spherical interpolation along the last axis (paper appendix).
+
+    Degenerate (near-parallel) pairs fall back to lerp instead of dividing
+    by sin(omega) ~ 0 — rare with gaussian draws, but one NaN distance
+    would poison the whole PPL percentile reduction."""
     a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
     b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
     dot = jnp.clip(jnp.sum(a_n * b_n, axis=-1, keepdims=True), -1.0, 1.0)
     omega = jnp.arccos(dot)
     so = jnp.sin(omega)
-    return (jnp.sin((1.0 - t) * omega) / so) * a + (jnp.sin(t * omega) / so) * b
+    safe = jnp.abs(so) > 1e-6
+    so_safe = jnp.where(safe, so, 1.0)
+    spherical = (jnp.sin((1.0 - t) * omega) / so_safe) * a \
+        + (jnp.sin(t * omega) / so_safe) * b
+    return jnp.where(safe, spherical, lerp(a, b, t))
 
 
 def lerp(a: jax.Array, b: jax.Array, t) -> jax.Array:

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .linear import _accum_dtype  # single source for the bf16-AD dtype rule
 from .precision import get_precision
 
 DIMS = ("NHWC", "HWIO", "NHWC")
@@ -222,10 +223,6 @@ def pack_down_kernel(w: jax.Array, gain: float = 0.25) -> tuple:
 # --------------------------------------------------------------------------
 # Packed conv applications
 # --------------------------------------------------------------------------
-
-def _accum_dtype(x):
-    return jnp.float32 if x.dtype == jnp.float32 else None
-
 
 def conv_packed_same(x: jax.Array, w: jax.Array) -> jax.Array:
     """Packed-domain SAME conv: x (B,H',W',4Ci), w the reference (k,k,Ci,Co)

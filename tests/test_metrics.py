@@ -181,6 +181,14 @@ class TestInceptionPipeline:
         d[0] = 1e9
         assert abs(ppl_score(d) - 1.0) < 1e-9
 
+        # degenerate (parallel / antiparallel) pairs fall back to lerp
+        # instead of dividing by sin(0)
+        same = np.asarray(slerp(a, a, 0.3))
+        assert np.isfinite(same).all()
+        np.testing.assert_allclose(same, a, atol=1e-5)
+        anti = np.asarray(slerp(a, -a, 0.5))
+        assert np.isfinite(anti).all()
+
     def test_ppl_crop_and_resize(self):
         from stylegan_tpu.metrics.ppl import crop_and_resize
         big = jnp.arange(2 * 1024 * 1024 * 3, dtype=jnp.float32) \

@@ -274,7 +274,10 @@ def blur_packed(x: jax.Array, kernel2d: jax.Array) -> jax.Array:
     convs with 4-lane groups lower pathologically on TPU (measured 17ms at
     the 1024-stage vs 2.7ms for this dense form — the diagonal's zero MACs
     are cheaper than the grouped lowering), and the unpacked depthwise blur
-    costs 4.4ms at 1024^2x16 besides.
+    costs 4.4ms at 1024^2x16 besides.  A MAC-free shift-and-add VPU
+    formulation (36 weighted phase-mapped slices) was also tried and lost
+    1.9x (344 vs 184 us/img at the 512 stage, batch 128): the slice access
+    pattern costs more HBM traffic than the dense form wastes in MACs.
     """
     c = x.shape[-1] // PP
     eye = jnp.eye(c, dtype=kernel2d.dtype)

@@ -178,6 +178,33 @@ def test_packed_discriminator_matches_unpacked(structure, depth, alpha):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_packed_conditional_discriminator_matches_unpacked():
+    """Conditional D with packed layout: the label planes double the image
+    channels BEFORE space_to_depth, so the packed from_rgb consumes 24 lanes
+    — an untested-by-the-other-cases combination."""
+    from dataclasses import replace
+
+    from stylegan_tpu.models import (DiscriminatorConfig, discriminator_apply,
+                                     discriminator_init)
+
+    cfg = DiscriminatorConfig(resolution=256, fmap_base=1024, fmap_max=256,
+                              structure="linear", conditional=True,
+                              n_classes=5)
+    cfg_pk = replace(cfg, packed=True)
+    assert cfg_pk.packed_res(8)
+    key = jax.random.PRNGKey(17)
+    params = discriminator_init(key, cfg)
+    depth = 6
+    res = 2 ** (depth + 2)
+    imgs = _rand(jax.random.fold_in(key, 1), (4, res, res, 3))
+    labels = jnp.asarray([0, 2, 4, 1])
+    ref = discriminator_apply(cfg, params, imgs, depth=depth, alpha=0.6,
+                              labels=labels)
+    out = discriminator_apply(cfg_pk, params, imgs, depth=depth, alpha=0.6,
+                              labels=labels)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_packed_train_step_on_mesh():
     """The packed execution domain composes with shard_map data parallelism:

@@ -161,6 +161,65 @@ def test_gspmd_train_step_matches_single_device():
                                    rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_gspmd_train_step_with_packed_layout():
+    """The 2-D GSPMD step composes with space-to-depth packed execution
+    (the production deep-tail configuration): one logistic+R1 step at 128^2
+    — where packing engages — runs finite on a (1, 4) mesh and matches the
+    single-device packed step's losses."""
+    import optax
+    from jax.sharding import Mesh
+    from stylegan_tpu.models import (DiscriminatorConfig, discriminator_init,
+                                     generator_init)
+    from stylegan_tpu.train import (build_gspmd_train_step, build_train_step,
+                                    create_train_state)
+
+    res = 128
+    cfg = GeneratorConfig(
+        resolution=res, latent_size=32, dlatent_size=32, truncation_psi=0.7,
+        mapping=MappingConfig(latent_size=32, dlatent_size=32,
+                              mapping_fmaps=32, mapping_layers=2,
+                              dlatent_broadcast=(res.bit_length() - 2) * 2),
+        synthesis=SynthesisConfig(resolution=res, dlatent_size=32,
+                                  fmap_base=128, fmap_max=32,
+                                  blur_filter=(1, 2, 1), structure="linear",
+                                  packed=True))
+    dis_cfg = DiscriminatorConfig(resolution=res, fmap_base=128, fmap_max=32,
+                                  blur_filter=(1, 2, 1), structure="linear",
+                                  packed=True)
+    assert cfg.synthesis.packed_block(cfg.synthesis.depth - 2)
+    depth = dis_cfg.depth - 1
+
+    def make_state():
+        g_tx, d_tx = optax.sgd(0.01), optax.sgd(0.01)
+        return create_train_state(
+            generator_init(jax.random.PRNGKey(20), cfg),
+            discriminator_init(jax.random.PRNGKey(21), dis_cfg),
+            g_tx, d_tx, use_ema=False), g_tx, d_tx
+
+    batch = 2
+    reals = jax.random.normal(jax.random.PRNGKey(22), (batch, res, res, 3))
+    z = jax.random.normal(jax.random.PRNGKey(23), (batch, 32))
+    key, alpha = jax.random.PRNGKey(24), jnp.float32(1.0)
+
+    state, g_tx, d_tx = make_state()
+    single = build_train_step(cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                              loss="logistic", use_ema=False, donate=False)
+    _, ref_m = single(state, reals, z, key, alpha)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                ("data", "spatial"))
+    state2, g_tx2, d_tx2 = make_state()
+    step = build_gspmd_train_step(cfg, dis_cfg, g_tx2, d_tx2, depth=depth,
+                                  mesh=mesh, loss="logistic", use_ema=False,
+                                  donate=False)
+    _, got_m = step(state2, reals, z, key, alpha)
+    np.testing.assert_allclose(float(got_m["d_loss"]),
+                               float(ref_m["d_loss"]), rtol=1e-3)
+    np.testing.assert_allclose(float(got_m["g_loss"]),
+                               float(ref_m["g_loss"]), rtol=1e-3)
+
+
 def test_gspmd_step_rejects_bad_mesh():
     from jax.sharding import Mesh
     from stylegan_tpu.models.configs import DiscriminatorConfig

@@ -51,6 +51,10 @@ def parse_arguments():
     parser.add_argument("--ppl_space", choices=["w", "z"], default="w")
     parser.add_argument("--ppl_sampling", choices=["full", "end"],
                         default="full")
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="conditional models: restrict --metric ppl to "
+                             "one class (default: labels sampled uniformly "
+                             "over n_classes from --seed)")
     return parser.parse_args()
 
 
@@ -92,17 +96,28 @@ def main():
                 load_lpips_weights(args.lpips_weights)), "lpips-vgg16")
         else:
             dist_fn, dist_name = make_pyramid_distance(), "pyramid-l2"
-        labels = (jnp.zeros((args.batch,), jnp.int32)
-                  if opt.conditional else None)
+        # conditional: labels sampled uniformly per batch (seed-determined)
+        # unless --class_id pins a single class
+        labels = n_classes = None
+        if opt.conditional:
+            if args.class_id is not None:
+                labels = jnp.full((args.batch,), args.class_id, jnp.int32)
+            else:
+                n_classes = opt.n_classes
         d = ppl_samples(gen_cfg, params, dist_fn,
                         num_samples=args.num_samples, batch_size=args.batch,
                         key=jax.random.PRNGKey(args.seed),
                         space=args.ppl_space, sampling=args.ppl_sampling,
-                        labels=labels)
-        print(json.dumps({"ppl": round(ppl_score(d), 4),
-                          "distance": dist_name, "space": args.ppl_space,
-                          "sampling": args.ppl_sampling,
-                          "num_samples": args.num_samples}))
+                        labels=labels, n_classes=n_classes)
+        result = {"ppl": round(ppl_score(d), 4),
+                  "distance": dist_name, "space": args.ppl_space,
+                  "sampling": args.ppl_sampling,
+                  "num_samples": args.num_samples}
+        if opt.conditional:
+            result["labels"] = (f"class {args.class_id}"
+                                if args.class_id is not None
+                                else f"uniform over {opt.n_classes}")
+        print(json.dumps(result))
         return
 
     # real samples (IS scores generated images only — no dataset needed)

@@ -26,6 +26,11 @@ tr(S1 + S2 - 2 sqrtm(S1 S2)), computed in float64 on host.
 
 Conv layouts are NHWC/HWIO at apply time (TPU-native); the torchvision OIHW
 kernels are transposed once at load.
+
+Numerics are pinned against a real torch execution of the inception_v3 graph
+(tests/torch_metric_refs.py + tests/test_metrics.py TestTorchExtractorParity:
+same random weights into both, features/probs match at 299 and through the
+128->299 resize path).
 """
 
 from __future__ import annotations

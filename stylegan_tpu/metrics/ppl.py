@@ -34,6 +34,10 @@ air-gapped:
 
 Images are center-cropped to the face region and downsampled to 256 before
 the distance, as in the official implementation.
+
+The LPIPS-VGG16 forward is pinned against a real torch execution of the
+graph (tests/torch_metric_refs.py TorchLPIPSVgg: same random weights into
+both, distances match to 1e-5).
 """
 
 from __future__ import annotations
@@ -208,11 +212,16 @@ def make_pyramid_distance(levels: int = 4):
 # ---------------------------------------------------------------------------
 
 def crop_and_resize(images: jax.Array) -> jax.Array:
-    """Official PPL pipeline: center-crop the face region (rows 3/8..7/8,
-    cols 2/8..6/8) when the image is large, then area-downsample to 256."""
+    """Official PPL pipeline: unconditionally center-crop the face region
+    (with cell = side//8: rows 3..7 cells, cols 2..6 cells), then
+    area-downsample to 256 if still larger.  The official implementation
+    crops at EVERY resolution, not just >256 — keep that so PPL numbers at
+    <=256 stay comparable to published ones.  Only guard: images smaller
+    than 8px (toy tests) skip the crop, which would be empty."""
     b, h, w, c = images.shape
-    if h > 256:
-        images = images[:, h * 3 // 8: h * 7 // 8, w * 2 // 8: w * 6 // 8, :]
+    if h >= 8:
+        ch, cw = h // 8, w // 8
+        images = images[:, ch * 3: ch * 7, cw * 2: cw * 6, :]
         h, w = images.shape[1], images.shape[2]
     if h > 256:
         f = h // 256
@@ -223,22 +232,32 @@ def crop_and_resize(images: jax.Array) -> jax.Array:
 
 def ppl_samples(gen_cfg, params, distance_fn, *, num_samples: int,
                 batch_size: int, key, space: str = "w",
-                sampling: str = "full", labels=None) -> np.ndarray:
+                sampling: str = "full", labels=None,
+                n_classes: Optional[int] = None) -> np.ndarray:
     """Per-pair scaled perceptual distances (the PPL integrand).
 
     space 'z': slerp in latent Z, each endpoint mapped separately.
     space 'w': lerp in W (broadcast to all layers).  Both eval-mode, no
-    truncation/mixing (train=False), matching the official metric."""
+    truncation/mixing (train=False), matching the official metric.
+
+    Conditional models: pass `labels` to pin every pair to fixed classes, or
+    `n_classes` to sample labels uniformly per batch (deterministic in
+    `key`) so the score covers the whole model, not just one class."""
     from ..models import generator_apply
     from ..models.mapping import mapping_apply
     from ..models.synthesis import synthesis_apply
     assert space in ("z", "w") and sampling in ("full", "end")
+    assert labels is None or n_classes is None, \
+        "pass fixed `labels` or `n_classes` to sample them, not both"
     depth = gen_cfg.synthesis.depth - 1
     eps = EPSILON
 
     @jax.jit
     def batch_distances(k):
-        kz1, kz2, kt, kn = jax.random.split(k, 4)
+        labels_b = labels
+        kz1, kz2, kt, kn, kl = jax.random.split(k, 5)
+        if n_classes is not None:
+            labels_b = jax.random.randint(kl, (batch_size,), 0, n_classes)
         z1 = jax.random.normal(kz1, (batch_size, gen_cfg.latent_size))
         z2 = jax.random.normal(kz2, (batch_size, gen_cfg.latent_size))
         t = (jax.random.uniform(kt, (batch_size, 1))
@@ -246,14 +265,14 @@ def ppl_samples(gen_cfg, params, distance_fn, *, num_samples: int,
         if space == "z":
             za, zb = slerp(z1, z2, t), slerp(z1, z2, t + eps)
             ia = generator_apply(gen_cfg, params, za, depth=depth, alpha=1.0,
-                                 rng=kn, train=False, labels=labels).images
+                                 rng=kn, train=False, labels=labels_b).images
             ib = generator_apply(gen_cfg, params, zb, depth=depth, alpha=1.0,
-                                 rng=kn, train=False, labels=labels).images
+                                 rng=kn, train=False, labels=labels_b).images
         else:
             zin1, zin2 = z1, z2
             if gen_cfg.conditional:
                 from ..models.generator import embed_labels
-                emb = embed_labels(params, labels)
+                emb = embed_labels(params, labels_b)
                 zin1 = jnp.concatenate([z1, emb], axis=1)
                 zin2 = jnp.concatenate([z2, emb], axis=1)
             w1 = mapping_apply(gen_cfg.mapping, params["g_mapping"], zin1)

@@ -195,8 +195,19 @@ class TestInceptionPipeline:
             .reshape(2, 1024, 1024, 3)
         out = crop_and_resize(big)
         assert out.shape == (2, 256, 256, 3)
+        # the crop is unconditional (official pipeline): 32 -> 16x16 face box
         small = jnp.zeros((2, 32, 32, 3))
-        assert crop_and_resize(small).shape == (2, 32, 32, 3)
+        assert crop_and_resize(small).shape == (2, 16, 16, 3)
+        # sub-8px toy images skip the (empty) crop
+        tiny = jnp.zeros((2, 4, 4, 3))
+        assert crop_and_resize(tiny).shape == (2, 4, 4, 3)
+        # crop box matches the official c=side//8 arithmetic: rows 3c..7c,
+        # cols 2c..6c of the original image
+        ramp = np.arange(2 * 32 * 32 * 3, dtype=np.float32) \
+            .reshape(2, 32, 32, 3)
+        np.testing.assert_allclose(
+            np.asarray(crop_and_resize(jnp.asarray(ramp))),
+            ramp[:, 12:28, 8:24, :])
 
     def test_lpips_schema_and_distance(self, tmp_path):
         """LPIPS pipeline on synthetic weights: d(x, x) == 0, d(x, y) > 0,
@@ -264,3 +275,74 @@ class TestInceptionPipeline:
         diff = compute_fid(real, fake, path, batch_size=4)
         assert abs(same) < 1e-6
         assert diff > max(10.0 * abs(same), 1e-4)
+
+
+class TestTorchExtractorParity:
+    """Pin the JAX metric feature extractors against real torch executions
+    of the torchvision-inception_v3 / LPIPS-VGG16 graphs (independent torch
+    reimplementations in tests/torch_metric_refs.py), one random weight set
+    loaded into both (VERDICT r2 #4)."""
+
+    def test_inception_features_parity_299(self):
+        import torch
+        from stylegan_tpu.metrics.fid import (inception_v3_init,
+                                              make_feature_fn)
+        from torch_metric_refs import (TorchInceptionV3Features,
+                                       load_inception_npz)
+        params = inception_v3_init(jax.random.PRNGKey(0))
+        model = TorchInceptionV3Features()
+        load_inception_npz(model, params)
+        imgs = np.random.RandomState(0).rand(2, 299, 299, 3).astype(np.float32)
+        ours = np.asarray(make_feature_fn(params)(imgs))
+        with torch.no_grad():
+            ref = model(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_inception_features_parity_resize_128(self):
+        """The FFHQ-128 FID path: in-graph bilinear 128->299 resize must
+        match torch F.interpolate(align_corners=False) + inception."""
+        import torch
+        from stylegan_tpu.metrics.fid import (inception_v3_init,
+                                              make_feature_fn)
+        from torch_metric_refs import (TorchInceptionV3Features,
+                                       load_inception_npz)
+        params = inception_v3_init(jax.random.PRNGKey(1))
+        model = TorchInceptionV3Features()
+        load_inception_npz(model, params)
+        imgs = np.random.RandomState(1).rand(2, 128, 128, 3).astype(np.float32)
+        ours = np.asarray(make_feature_fn(params)(imgs))
+        with torch.no_grad():
+            ref = model(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_inception_probs_parity(self):
+        """Inception Score's class-probability head (fc + softmax)."""
+        import torch
+        from stylegan_tpu.metrics.fid import inception_v3_init, make_probs_fn
+        from torch_metric_refs import (TorchInceptionV3Features,
+                                       load_inception_npz)
+        params = inception_v3_init(jax.random.PRNGKey(2))
+        model = TorchInceptionV3Features()
+        load_inception_npz(model, params)
+        imgs = np.random.RandomState(2).rand(2, 299, 299, 3).astype(np.float32)
+        ours = np.asarray(make_probs_fn(params)(imgs))
+        with torch.no_grad():
+            ref = model.probs(
+                torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-3)
+
+    def test_lpips_distance_parity(self):
+        import torch
+        from stylegan_tpu.metrics import lpips_vgg_init, make_lpips_fn
+        from torch_metric_refs import TorchLPIPSVgg, load_lpips_npz
+        params = lpips_vgg_init(jax.random.PRNGKey(3))
+        model = TorchLPIPSVgg()
+        load_lpips_npz(model, params)
+        rs = np.random.RandomState(3)
+        a = (rs.rand(2, 64, 64, 3) * 2 - 1).astype(np.float32)
+        b = (rs.rand(2, 64, 64, 3) * 2 - 1).astype(np.float32)
+        ours = np.asarray(make_lpips_fn(params)(a, b))
+        with torch.no_grad():
+            ref = model(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(b.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-3)

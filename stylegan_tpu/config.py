@@ -238,10 +238,29 @@ def get_default_cfg() -> ConfigNode:
     # scaled by N — same time-averaged penalty, the grad-of-grad cost is
     # paid 1/N of the time.  1 = reference semantics (R1 on every D update).
     c.r1_interval = 1
+    # base (per-step-equivalent) R1 coefficient for the logistic loss; the
+    # r1_interval scaling composes with it (effective gamma = r1_gamma * N
+    # on regularized steps).  10.0 = reference Losses.py default.
+    c.r1_gamma = 10.0
+    # minibatch-stddev scope under parallelism: 'auto' = each step's natural
+    # semantics (shard_map = shard-local groups, GSPMD = global batch);
+    # 'local'/'global' pin one semantic for every step so adaptive mesh
+    # switches at depth transitions never change D's statistic mid-run.
+    c.mbstd_scope = "auto"
     # rematerialize G/D blocks in backward (jax.checkpoint): extra forward
     # FLOPs for much lower train-step peak HBM — enables larger batches at
     # high resolution.  Same math; forward-only CLIs are unaffected.
     c.ops.remat = False
+    # fused real/fake D scoring: one concat batch-2B pass with per-half
+    # minibatch-stddev chunks — exact same math, ~6% faster train step.
+    # 'auto' = on with bf16 activations (skipped automatically when in-loss
+    # R1 makes it counterproductive; see train/steps.py).
+    c.ops.fuse_scores = "auto"
+    # single-G-forward train step (jax.vjp shared across the D and G
+    # phases): ~12-18% faster step.  Off by default — two documented
+    # semantic deltas vs the reference's two-forward pattern (shared
+    # noise/mixing draws; one-step-stale train-mode truncation avg).
+    c.ops.reuse_g_fwd = False
 
     return c
 
@@ -254,6 +273,20 @@ def resolve_packed(cfg) -> bool:
         p = cfg.ops.packed
         if isinstance(p, bool):
             return p
+        return cfg.precision.activations == "bfloat16"
+    except AttributeError:
+        return False
+
+
+def resolve_fuse_scores(cfg) -> bool:
+    """Resolve the `ops.fuse_scores` knob: explicit bool wins; 'auto'
+    enables fused real/fake D scoring on the bf16 perf path (exact math —
+    kept off on the f32 parity path purely to preserve bitwise identity
+    with the reference tests)."""
+    try:
+        f = cfg.ops.fuse_scores
+        if isinstance(f, bool):
+            return f
         return cfg.precision.activations == "bfloat16"
     except AttributeError:
         return False

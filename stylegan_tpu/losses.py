@@ -45,14 +45,24 @@ def _relu(x):
 
 
 def _score_pair(dis_fn, reals, fakes):
-    """Scores for reals and fakes (two separate D forwards).
+    """Scores for reals and fakes.
 
-    A fused concat-along-batch forward was tried and REVERTED: minibatch-
-    stddev groups are *strided* across the batch (reshape(g, b//g, ...) —
-    group j holds batch indices {j, j + b//g, ...}), so a concatenated
-    real/fake batch always mixes reals and fakes inside every stddev group,
-    changing D's scores relative to the reference no matter the batch size.
+    Default: two separate D forwards.  A naive concat-along-batch forward
+    was tried in round 2 and REVERTED: minibatch-stddev groups are *strided*
+    across the batch (reshape(g, b//g, ...) — group j holds batch indices
+    {j, j + b//g, ...}), so a concatenated real/fake batch mixes reals and
+    fakes inside every stddev group, changing D's scores vs the reference.
+
+    Round 3: `ops.minibatch_stddev(chunks=2)` restricts grouping to the two
+    contiguous halves, making ONE batch-2B forward compute exactly the two
+    separate batch-B statistics — same math, ~half the per-pass fixed cost.
+    The train-step builder opts in by attaching a `score_pair(reals, fakes)`
+    attribute to dis_fn (steps.py `fuse_scores`); losses route through it
+    here so every pair-scoring loss benefits.
     """
+    pair = getattr(dis_fn, "score_pair", None)
+    if pair is not None:
+        return pair(reals, fakes)
     return dis_fn(reals), dis_fn(fakes)
 
 

@@ -98,10 +98,14 @@ def discriminator_top_init(key, cfg: DiscriminatorConfig,
 
 
 def discriminator_top_apply(cfg: DiscriminatorConfig, params: dict,
-                            x: jax.Array) -> jax.Array:
+                            x: jax.Array, mbstd_axis: Optional[str] = None,
+                            mbstd_chunks: int = 1) -> jax.Array:
+    """mbstd_axis / mbstd_chunks pin the minibatch-stddev scope under
+    parallelism (see ops.minibatch_stddev and train.steps mbstd_scope)."""
     act = leaky_relu if cfg.nonlinearity == "lrelu" else jax.nn.relu
     if cfg.mbstd_group_size > 1:
-        x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_num_features)
+        x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_num_features,
+                             axis_name=mbstd_axis, chunks=mbstd_chunks)
     x = conv2d_apply(params["conv"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
     x = act(x)
     # channel-major flatten for torch-checkpoint weight compatibility
@@ -172,7 +176,9 @@ def _from_rgb(cfg: DiscriminatorConfig, params: dict, idx: int,
 
 def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
                         images: jax.Array, depth: int, alpha=1.0,
-                        labels: Optional[jax.Array] = None) -> jax.Array:
+                        labels: Optional[jax.Array] = None,
+                        mbstd_axis: Optional[str] = None,
+                        mbstd_chunks: int = 1) -> jax.Array:
     """images: (B, H, W, C) at resolution 2^(depth+2) -> scores (B, 1)."""
     assert depth < cfg.depth, "Requested output depth cannot be produced"
     if cfg.conditional:
@@ -185,7 +191,8 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
         x = _from_rgb(cfg, params, 0, images, cfg.packed_res(rlog2))
         for bi, block in enumerate(params["blocks"]):
             x = _block_step(cfg, block, x, res_log2=rlog2 - bi)
-        return discriminator_top_apply(cfg, params["final_block"], x)
+        return discriminator_top_apply(cfg, params["final_block"], x,
+                                       mbstd_axis, mbstd_chunks)
 
     if cfg.structure != "linear":
         raise KeyError(f"Unknown structure: {cfg.structure}")
@@ -214,4 +221,5 @@ def discriminator_apply(cfg: DiscriminatorConfig, params: dict,
         if cfg.conditional:
             images = _concat_label_planes(params, -1, images, labels)
         x = _from_rgb(cfg, params, -1, images, False)
-    return discriminator_top_apply(cfg, params["final_block"], x)
+    return discriminator_top_apply(cfg, params["final_block"], x,
+                                   mbstd_axis, mbstd_chunks)

@@ -132,8 +132,27 @@ def instance_norm(x: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     return ((xf - mean) * lax.rsqrt(var + epsilon)).astype(x.dtype)
 
 
+def _stddev_feature(y: jax.Array, group_size: int, f: int) -> jax.Array:
+    """The (B, H, W, f) stddev feature map for one batch (f32 in/out).
+
+    Reference grouping (CustomLayers.py:294-305): reshape (g, B//g, ...) —
+    group s's members are strided by B//g across the batch."""
+    b, h, w, c = y.shape
+    g = min(group_size, b)
+    assert b % g == 0, f"batch {b} not divisible by stddev group {g}"
+    y = y.reshape(g, b // g, h, w, f, c // f)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    y = jnp.mean(jnp.square(y), axis=0)              # (b//g, H, W, f, c//f)
+    y = jnp.sqrt(y + 1e-8)
+    y = jnp.mean(y, axis=(1, 2, 4))                  # (b//g, f)
+    y = jnp.broadcast_to(y[None, :, None, None, :], (g, b // g, h, w, f))
+    return y.reshape(b, h, w, f)
+
+
 def minibatch_stddev(x: jax.Array, group_size: int = 4,
-                     num_new_features: int = 1) -> jax.Array:
+                     num_new_features: int = 1, *,
+                     axis_name: str | None = None,
+                     chunks: int = 1) -> jax.Array:
     """Append per-group stddev statistics as extra channels (NHWC).
 
     Exactly the reference formula (CustomLayers.py:294-305): split the batch
@@ -141,25 +160,40 @@ def minibatch_stddev(x: jax.Array, group_size: int = 4,
     pixel), eps 1e-8 inside the sqrt, mean over (channels within feature, H,
     W), broadcast back, concat one channel per new feature.
 
-    Under data parallelism this runs shard-local (per-device batch), matching
-    the reference's per-minibatch semantics.
+    Scope control under parallelism (both default off — plain shard-local /
+    whole-visible-batch semantics):
+
+    * axis_name — inside `shard_map`, compute the statistic over the GLOBAL
+      batch: all_gather x over the named axis (x here is the 4x4 D-head
+      input — a few KB per sample — so the collective is trivial), apply the
+      exact single-device grouping, keep the local rows.  Matches what a
+      single device computes on the full batch.
+    * chunks — restrict grouping to `chunks` equal contiguous batch chunks.
+      Inside a GSPMD program (where the batch axis is globally visible) this
+      expresses shard-LOCAL grouping: with chunks = n_data_shards the groups
+      align with the contiguous `P('data')` shards, XLA keeps the reduction
+      local, and the math equals the shard_map path's per-device statistic.
     """
+    assert not (axis_name is not None and chunks > 1), \
+        "axis_name (global scope) and chunks (local scope) are exclusive"
     b, h, w, c = x.shape
-    g = min(group_size, b)
-    assert b % g == 0, f"batch {b} not divisible by stddev group {g}"
     f = num_new_features
     # statistics in f32 (the final spatial mean reduces over H*W*c elements —
     # ~1M at 1024^2 — where bf16 accumulation drifts); cast back at the end
     y = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
-    # (g, b//g, H, W, f, c//f)
-    y = y.reshape(g, b // g, h, w, f, c // f)
-    y = y - jnp.mean(y, axis=0, keepdims=True)
-    y = jnp.mean(jnp.square(y), axis=0)              # (b//g, H, W, f, c//f)
-    y = jnp.sqrt(y + 1e-8)
-    y = jnp.mean(y, axis=(1, 2, 4))                  # (b//g, f)
-    y = jnp.broadcast_to(y[None, :, None, None, :], (g, b // g, h, w, f))
-    y = y.reshape(b, h, w, f).astype(x.dtype)
-    return jnp.concatenate([x, y], axis=-1)
+    if axis_name is not None:
+        full = jax.lax.all_gather(y, axis_name, axis=0, tiled=True)
+        feat = _stddev_feature(full, group_size, f)
+        start = jax.lax.axis_index(axis_name) * b
+        feat = jax.lax.dynamic_slice_in_dim(feat, start, b, axis=0)
+    elif chunks > 1:
+        assert b % chunks == 0, f"batch {b} not divisible into {chunks} chunks"
+        yc = y.reshape(chunks, b // chunks, h, w, c)
+        feat = jax.vmap(lambda t: _stddev_feature(t, group_size, f))(yc)
+        feat = feat.reshape(b, h, w, f)
+    else:
+        feat = _stddev_feature(y, group_size, f)
+    return jnp.concatenate([x, feat.astype(x.dtype)], axis=-1)
 
 
 def truncate_dlatents(dlatents: jax.Array, avg_latent: jax.Array,

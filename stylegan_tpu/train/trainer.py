@@ -41,7 +41,9 @@ class StyleGAN:
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
                  activations_dtype="float32", packed_layout=False,
-                 r1_interval=1, remat_blocks=False, spatial_devices=0):
+                 r1_interval=1, r1_gamma=10.0, remat_blocks=False,
+                 spatial_devices=0, mbstd_scope=None, fuse_scores=False,
+                 reuse_g_fwd=False):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
         divisibility), or None.  max_devices: adaptive data parallelism —
         each step uses the largest mesh (<= max_devices) that its global
@@ -66,6 +68,16 @@ class StyleGAN:
         # idle, shard the image height over up to `spatial_devices` of them
         # via the 2-D GSPMD step (steps.build_gspmd_train_step).  0/1 = off.
         self.spatial_devices = int(spatial_devices or 0)
+        # minibatch-stddev scope: None = each step's natural semantics
+        # (shard_map shard-local / GSPMD global); 'local'|'global' pin ONE
+        # semantic across every step so adaptive mesh switches at depth
+        # transitions never change D's statistic mid-run (VERDICT r2 #5).
+        assert mbstd_scope in (None, "auto", "local", "global"), mbstd_scope
+        self.mbstd_scope = None if mbstd_scope == "auto" else mbstd_scope
+        # perf knobs (train/steps.py): fused real/fake scoring (exact math)
+        # and the single-G-forward step (documented semantic deltas)
+        self.fuse_scores = bool(fuse_scores)
+        self.reuse_g_fwd = bool(reuse_g_fwd)
         self._mesh_cache = {}
         # bf16 activations / f32 params+optimizer: params stay f32 and are
         # cast at apply time (ops cast weights to the activation dtype);
@@ -83,7 +95,10 @@ class StyleGAN:
         # interval — same time-averaged penalty, but the grad-of-grad (the
         # dominant 1024^2 step cost) is paid 1/interval of the time.
         # interval 1 == the reference's every-step R1, bit-for-bit.
+        # r1_gamma is the BASE (per-step-equivalent) coefficient; the
+        # interval scaling in _get_step composes with it.
         self.r1_interval = int(r1_interval)
+        self.r1_gamma = float(r1_gamma)
         assert self.r1_interval >= 1, \
             f"r1_interval must be >= 1 (got {r1_interval}); R1 itself is " \
             "part of the logistic loss — pick a different loss to disable it"
@@ -214,14 +229,21 @@ class StyleGAN:
         if key not in self._steps:
             r1_gamma = None
             if lazy:
-                r1_gamma = 10.0 * self.r1_interval if with_r1 else 0.0
+                r1_gamma = self.r1_gamma * self.r1_interval if with_r1 else 0.0
+            elif self.loss_name == "logistic" and self.r1_gamma != 10.0:
+                r1_gamma = self.r1_gamma  # non-default gamma, every-step R1
             common = dict(depth=depth, loss=self.loss_name,
                           d_repeats=self.d_repeats, use_ema=self.use_ema,
                           ema_decay=self.ema_decay,
                           conditional=self.conditional, drift=self.drift,
-                          r1_gamma=r1_gamma)
+                          r1_gamma=r1_gamma, mbstd_scope=self.mbstd_scope,
+                          fuse_scores=self.fuse_scores,
+                          reuse_g_fwd=self.reuse_g_fwd)
             if spatial:
                 from .steps import build_gspmd_train_step
+                # fused scoring off under GSPMD: the concat batch would
+                # reshard mid-D (correct but slower); steps.py docstring
+                common = dict(common, fuse_scores=False)
                 self._steps[key] = build_gspmd_train_step(
                     self.gen_cfg, self.dis_cfg, self.g_tx, self.d_tx,
                     mesh=mesh, **common)

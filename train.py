@@ -81,7 +81,7 @@ def main():
                 max_devices, jax.default_backend())
 
     # precision / kernel knobs (stylegan_tpu/config.py TPU-native additions)
-    from stylegan_tpu.config import apply_runtime_knobs
+    from stylegan_tpu.config import apply_runtime_knobs, resolve_fuse_scores
     packed = apply_runtime_knobs(opt)
     if opt.precision.activations == "bfloat16":
         logger.info("bf16 activations / default MXU precision")
@@ -112,8 +112,12 @@ def main():
                          activations_dtype=opt.precision.activations,
                          packed_layout=packed,
                          r1_interval=getattr(opt, "r1_interval", 1),
+                         r1_gamma=getattr(opt, "r1_gamma", 10.0),
                          remat_blocks=getattr(opt.ops, "remat", False),
-                         spatial_devices=getattr(opt.parallel, "spatial", 0))
+                         spatial_devices=getattr(opt.parallel, "spatial", 0),
+                         mbstd_scope=getattr(opt, "mbstd_scope", None),
+                         fuse_scores=resolve_fuse_scores(opt),
+                         reuse_g_fwd=getattr(opt.ops, "reuse_g_fwd", False))
 
     start_depth = args.start_depth
     if args.resume is not None:

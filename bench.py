@@ -1,25 +1,46 @@
 """Benchmark: 1024x1024 StyleGAN synthesis throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+(Intermediate, strictly-improving JSON lines are printed as metrics land so a
+timeout kill still leaves a parseable result in the output tail — the round-2
+driver run was killed mid-compile and captured nothing; see VERDICT.md #1.)
 
 Headline metric (BASELINE.md): images/sec/chip for full FFHQ-1024 generation
 (mapping + synthesis, eval semantics, bf16 activations / f32 params, NHWC,
 space-to-depth packed execution for the low-channel stages — ops/packed.py).
 The reference publishes no numbers (SURVEY.md §6); the driver-defined target
-is >=3x an A100 running the reference PyTorch implementation.  vs_baseline is
-therefore reported against 3 x A100_EST, where A100_EST is our estimate of
-the torch reference's A100 1024^2 synthesis throughput (~25 img/s — StyleGAN1
-synthesis is ~72 GFLOP/img and the reference runs unfused f32 eager torch).
-vs_baseline >= 1.0 means the 3x-A100 target is met.
+is >=3x an A100 running the reference PyTorch implementation (~25 img/s est.),
+so vs_baseline = value / 75 and >= 1.0 means the target is met.
 
 Secondary metrics: the full fused train step (D+G+EMA) at 128^2 batch 16
-(the reference's per-depth batch), and at 1024^2 batch 8 with the
-logistic+R1 loss (the expensive grad-of-grad configuration).
+(the reference's per-depth batch), at 1024^2 batch 8 with logistic+R1 (the
+expensive grad-of-grad configuration), and the lazy-R1 amortized number.
+
+Robustness design for this tunneled-TPU environment (all empirically
+verified, see CLAUDE.md / docs/DESIGN.md):
+- The JAX persistent compilation cache WEDGES the axon backend (dispatch
+  returns, fetch never completes, cache dir stays empty) — do not enable it.
+- Remote compiles are slow (20-220s per program) but PARALLEL compile RPCs
+  overlap ~perfectly, so every program is AOT-compiled from concurrent
+  threads: wall time ~= slowest compile, not the sum.
+- Param/state init must be jitted (one fused program): eager init pays
+  ~27ms/dispatch through the tunnel — 40s for the 1024^2 generator alone.
+- First execution of a fresh executable costs another ~20-60s (program
+  load); steady-state calls are fast.  Warm calls count as trial 0.
+- Fresh processes occasionally hang at startup, and the backend has wedged
+  mid-run once: the measurement runs in a child process; the parent watches
+  a heartbeat file, kills on stall, and retries once — the retry RESUMES
+  from the already-measured metrics (passed back via a state file).
+- A hard print-deadline (BENCH_DEADLINE_S, default 540s) guarantees whatever
+  has been measured is printed with exit 0 before typical driver timeouts.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
+import threading
 import time
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -28,8 +49,89 @@ if REPO_ROOT not in sys.path:
 
 A100_EST_IMGS_PER_SEC = 25.0
 TARGET_MULTIPLIER = 3.0
+BASE = TARGET_MULTIPLIER * A100_EST_IMGS_PER_SEC
 T_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+STARTUP_STALL_S = 120.0   # no heartbeat this long after spawn => startup hang
+RUN_STALL_S = 150.0       # mid-run heartbeat silence => wedged backend
 
+BASELINE_NOTE = ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
+                 "reference publishes no numbers (BASELINE.md)")
+
+
+# --------------------------------------------------------------------------
+# parent: watchdog around the measuring child
+# --------------------------------------------------------------------------
+
+def parent():
+    last_json = None
+    state = tempfile.NamedTemporaryFile(prefix="bench_state_", suffix=".json",
+                                        delete=False)
+    state.close()
+    for attempt in (1, 2):
+        if DEADLINE_S - (time.time() - T_START) < 90:
+            break
+        hb = tempfile.NamedTemporaryFile(prefix="bench_hb_", delete=False)
+        hb.close()
+        if last_json:  # retry resumes: skip metrics already measured
+            with open(state.name, "w") as f:
+                f.write(last_json)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", hb.name,
+             state.name, str(DEADLINE_S - (time.time() - T_START))],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+        spawn_t = time.time()
+
+        got_line = [last_json]
+
+        def pump():
+            for line in proc.stdout:
+                line = line.strip()
+                if line.startswith("{"):
+                    got_line[0] = line
+                    print(line, flush=True)  # insurance: land partials early
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+
+        while proc.poll() is None:
+            now = time.time()
+            if now - T_START > DEADLINE_S - 15:
+                proc.kill()
+                break
+            stall = now - max(os.path.getmtime(hb.name), spawn_t)
+            limit = STARTUP_STALL_S if now - spawn_t < STARTUP_STALL_S + 30 \
+                else RUN_STALL_S
+            if stall > limit:
+                print(f"# parent: heartbeat stalled {stall:.0f}s, killing "
+                      f"worker (attempt {attempt})", file=sys.stderr,
+                      flush=True)
+                proc.kill()
+                break
+            time.sleep(2)
+        t.join(timeout=10)
+        last_json = got_line[0]
+        try:
+            os.unlink(hb.name)
+        except OSError:
+            pass
+        if proc.returncode == 0 and last_json is not None:
+            break  # clean finish
+
+    if last_json is None:
+        last_json = json.dumps({
+            "metric": "1024x1024 synthesis throughput (1 chip)",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "worker hung twice (tunnel startup hang)"})
+    try:
+        os.unlink(state.name)
+    except OSError:
+        pass
+    print(last_json, flush=True)
+
+
+# --------------------------------------------------------------------------
+# worker: parallel AOT compiles, then serial headline-first measurement
+# --------------------------------------------------------------------------
 
 def _gen_cfg(res, packed=True):
     from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
@@ -42,148 +144,252 @@ def _gen_cfg(res, packed=True):
                                   structure="linear", packed=packed))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from stylegan_tpu.models import generator_apply, generator_init
-    from stylegan_tpu.ops.precision import set_precision
-
-    set_precision("default")
-    cfg = _gen_cfg(1024)
-    params = generator_init(jax.random.PRNGKey(0), cfg)
-    depth = cfg.synthesis.depth - 1
-
-    ITERS = 16  # amortizes the tunnel's ~27ms host-fetch latency to <2ms/iter
-
-    def make_scan(batch):
-        # ITERS fresh-latent forwards chained inside ONE jit, one host fetch
-        # of a scalar that depends on every image: immune to the async /
-        # memoizing dispatch behavior of tunneled backends.
-        @jax.jit
-        def scan_fwd(params, key):
-            def body(c, i):
-                z = jax.random.normal(jax.random.fold_in(key, 2 * i),
-                                      (batch, cfg.latent_size), jnp.bfloat16)
-                out = generator_apply(cfg, params, z, depth=depth, alpha=1.0,
-                                      rng=jax.random.fold_in(key, 2 * i + 1),
-                                      train=False)
-                return c + out.images.mean(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
-            return acc
-        return scan_fwd
-
-    def run(batch):
-        f = make_scan(batch)
-        float(f(params, jax.random.PRNGKey(1)))  # compile + warm
-        best_dt = float("inf")
-        for trial in range(3):
-            t0 = time.perf_counter()
-            float(f(params, jax.random.PRNGKey(10 + trial)))
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        return batch * ITERS / best_dt
-
-    # largest batch first: throughput has always been monotone in batch on
-    # this chip (365 img/s at 32 -> 575 at 128; 256 crashes the compiler),
-    # and stopping at the first batch that compiles+runs saves several
-    # ~2-minute 1024^2 compiles through the tunnel
-    best_bs, best = 0, 0.0
-    for batch in (128, 32, 8):
-        try:
-            best_bs, best = batch, run(batch)
-            break
-        except Exception:
-            continue
-
-    train_ips = _train_throughput(res=128, batch=16, loss="relativistic-hinge")
-    train_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
-                                       iters=2)
-    # lazy R1 (r1_interval=16, gamma scaled — same time-averaged penalty):
-    # amortized step cost = (t_r1 + 15 * t_plain) / 16, measured from the
-    # gamma=0 program (no grad-of-grad) + the every-step number above.
-    # Optional metric: skipped when compiles already ate the time budget
-    # (tunneled backends spend minutes per 1024^2 compile) so the required
-    # metrics always make it out.
-    LAZY_N = 16
-    lazy_1024_ips = None
-    if time.time() - T_START < 720:
-        plain_1024_ips = _train_throughput(res=1024, batch=8, loss="logistic",
-                                           iters=2, r1_gamma=0.0)
-        if train_1024_ips and plain_1024_ips:
-            t_amort = (1.0 / train_1024_ips
-                       + (LAZY_N - 1) / plain_1024_ips) / LAZY_N
-            lazy_1024_ips = 1.0 / t_amort
-
-    result = {
-        "metric": "1024x1024 synthesis throughput (1 chip)",
-        "value": round(best, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / (TARGET_MULTIPLIER * A100_EST_IMGS_PER_SEC), 3),
-        "batch_size": best_bs,
-        "train_128_imgs_per_sec": round(train_ips, 3) if train_ips else None,
-        "train_1024_imgs_per_sec": (round(train_1024_ips, 3)
-                                    if train_1024_ips else None),
-        "train_1024_lazy_r1_imgs_per_sec": (round(lazy_1024_ips, 3)
-                                            if lazy_1024_ips else None),
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "baseline_note": ("vs_baseline = value / (3 x est. 25 img/s torch-A100); "
-                          "reference publishes no numbers (BASELINE.md)"),
-    }
-    print(json.dumps(result))
-
-
-def _train_throughput(res, batch, loss, iters=4, r1_gamma=None):
-    """Full fused train step (D+G+EMA) images/sec at `res` (BASELINE.md).
-
-    res=128/relativistic-hinge is the reference default config; res=1024/
-    logistic adds the R1 grad-of-grad penalty (the expensive path);
-    r1_gamma=0.0 measures the lazy-R1 off-step program (no grad-of-grad)."""
+def worker(hb_path, state_path, budget_s):
     import jax
     import jax.numpy as jnp
     from stylegan_tpu.models import (DiscriminatorConfig, discriminator_init,
-                                     generator_init)
+                                     generator_apply, generator_init)
+    from stylegan_tpu.ops.precision import set_precision
     from stylegan_tpu.train import (build_train_step, create_train_state,
                                     make_d_optimizer, make_g_optimizer)
+
+    deadline = time.time() + float(budget_s) - 30.0
+
+    stop_hb = threading.Event()
+
+    def beat():
+        while not stop_hb.is_set():
+            os.utime(hb_path, None)
+            stop_hb.wait(5)
+    threading.Thread(target=beat, daemon=True).start()
+
+    def note(msg):
+        print(f"# [{time.time()-T_START:5.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    out = {
+        "metric": "1024x1024 synthesis throughput (1 chip)",
+        "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+        "batch_size": 0, "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]), "baseline_note": BASELINE_NOTE,
+    }
     try:
+        with open(state_path) as f:
+            txt = f.read().strip()
+        if txt:
+            out.update(json.loads(txt))
+            note(f"resuming with prior metrics: "
+                 f"{[k for k in out if 'imgs_per_sec' in k or k == 'value']}")
+    except (OSError, ValueError):
+        pass
+
+    set_precision("default")
+    cfg = _gen_cfg(1024)
+    ITERS = 16  # amortizes the tunnel's ~1.8ms/scan-step + ~27ms fetch latency
+
+    need_synth = not (out.get("value", 0) > 0 and out.get("batch_size") == 128)
+    need_synth8 = out.get("value", 0) == 0
+    need_t128 = "train_128_imgs_per_sec" not in out
+    need_r1 = "train_1024_imgs_per_sec" not in out
+    need_lazy = "train_1024_lazy_r1_imgs_per_sec" not in out
+
+    # ---- stage 0: jitted inits, in parallel (eager init = 27ms/dispatch
+    # through the tunnel; one fused program is 3-4x faster) -----------------
+    built = {}
+
+    def build_gen_params():
+        built["gen"] = jax.jit(
+            lambda k: generator_init(k, cfg))(jax.random.PRNGKey(0))
+        jax.block_until_ready(built["gen"])
+
+    def build_train(res, tag):
         gen_cfg = _gen_cfg(res)
         dis_cfg = DiscriminatorConfig(resolution=res, blur_filter=(1, 2, 1),
                                       structure="linear", packed=True)
         g_tx, d_tx = make_g_optimizer(), make_d_optimizer()
-        state = create_train_state(
-            generator_init(jax.random.PRNGKey(0), gen_cfg),
-            discriminator_init(jax.random.PRNGKey(1), dis_cfg),
-            g_tx, d_tx, use_ema=True)
-        depth = dis_cfg.depth - 1
-        step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
-                                loss=loss, donate=False, r1_gamma=r1_gamma)
 
-        @jax.jit
+        def init(k):
+            return create_train_state(
+                generator_init(jax.random.fold_in(k, 0), gen_cfg),
+                discriminator_init(jax.random.fold_in(k, 1), dis_cfg),
+                g_tx, d_tx, use_ema=True)
+        st = jax.jit(init)(jax.random.PRNGKey(1))
+        jax.block_until_ready(st)
+        built[tag] = (gen_cfg, dis_cfg, g_tx, d_tx, st)
+
+    t0 = time.time()
+    init_jobs = []
+    if need_synth or need_synth8:
+        init_jobs.append(threading.Thread(target=build_gen_params))
+    if need_t128:
+        init_jobs.append(threading.Thread(target=build_train,
+                                          args=(128, "t128")))
+    if need_r1 or need_lazy:
+        init_jobs.append(threading.Thread(target=build_train,
+                                          args=(1024, "t1024")))
+    for t in init_jobs:
+        t.start()
+    for t in init_jobs:
+        t.join()
+    note(f"inits done in {time.time()-t0:.0f}s")
+
+    def make_synth(batch):
+        depth = cfg.synthesis.depth - 1
+
+        def scan_fwd(params, key):
+            def body(c, i):
+                z = jax.random.normal(jax.random.fold_in(key, 2 * i),
+                                      (batch, cfg.latent_size), jnp.bfloat16)
+                o = generator_apply(cfg, params, z, depth=depth, alpha=1.0,
+                                    rng=jax.random.fold_in(key, 2 * i + 1),
+                                    train=False)
+                return c + o.images.mean(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+            return acc
+        return scan_fwd, built["gen"], batch * ITERS
+
+    def make_train_scan(tag, batch, loss, iters, r1_gamma=None):
+        gen_cfg, dis_cfg, g_tx, d_tx, st = built[tag]
+        res = dis_cfg.resolution
+        # the shipped perf-path step configuration (trainer yaml knobs:
+        # ops.fuse_scores auto-on under bf16, ops.reuse_g_fwd opt-in)
+        step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx,
+                                depth=dis_cfg.depth - 1, loss=loss,
+                                donate=False, r1_gamma=r1_gamma,
+                                fuse_scores=True, reuse_g_fwd=True)
+
         def scan_steps(state, key):
             def body(c, i):
-                st, acc = c
+                s, acc = c
                 reals = jax.random.normal(jax.random.fold_in(key, 3 * i),
                                           (batch, res, res, 3), jnp.bfloat16)
                 z = jax.random.normal(jax.random.fold_in(key, 3 * i + 1),
                                       (batch, gen_cfg.latent_size),
                                       jnp.bfloat16)
-                st, metrics = step(st, reals, z,
-                                   jax.random.fold_in(key, 3 * i + 2),
-                                   jnp.float32(1.0))
-                return (st, acc + metrics["d_loss"]), None
-            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)),
-                                        jnp.arange(iters))
+                s, metrics = step(s, reals, z,
+                                  jax.random.fold_in(key, 3 * i + 2),
+                                  jnp.float32(1.0))
+                return (s, acc + metrics["d_loss"]), None
+            (s, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)),
+                                       jnp.arange(iters))
             return acc
+        return scan_steps, st, batch * iters
 
-        float(scan_steps(state, jax.random.PRNGKey(2)))
+    # ---- stage 1: AOT-compile everything in parallel threads -------------
+    compiled = {}
+    errors = {}
+
+    def compile_job(name, build):
+        try:
+            t0 = time.time()
+            fn, arg0, n_imgs = build()
+            key = jax.random.PRNGKey(7)
+            compiled[name] = (jax.jit(fn).lower(arg0, key).compile(),
+                              arg0, n_imgs)
+            note(f"compiled {name} in {time.time()-t0:.0f}s")
+        except Exception as e:  # noqa: BLE001 — report, never die
+            errors[name] = repr(e)
+            note(f"compile FAILED {name}: {e!r}")
+
+    jobs = {}
+    if need_synth8:
+        jobs["synth8"] = lambda: make_synth(8)
+    if need_synth:
+        jobs["synth128"] = lambda: make_synth(128)
+    if need_t128:
+        jobs["train128"] = lambda: make_train_scan(
+            "t128", 16, "relativistic-hinge", 4)
+    if need_r1:
+        jobs["train1024_r1"] = lambda: make_train_scan(
+            "t1024", 8, "logistic", 2)
+    if need_lazy:
+        jobs["train1024_plain"] = lambda: make_train_scan(
+            "t1024", 8, "logistic", 2, r1_gamma=0.0)
+
+    threads = {n: threading.Thread(target=compile_job, args=(n, b))
+               for n, b in jobs.items()}
+    for t in threads.values():
+        t.start()
+
+    # ---- stage 2: measure serially, headline-first, emit as we go --------
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    def measure(name, trials=2):
+        fn, arg0, n_imgs = compiled[name]
+        tw = time.time()
         best = float("inf")
-        for trial in range(2):
+        for trial in range(trials + 1):  # first call = program load, slow
             t0 = time.perf_counter()
-            float(scan_steps(state, jax.random.PRNGKey(10 + trial)))
-            best = min(best, time.perf_counter() - t0)
-        return batch * iters / best
-    except Exception:
-        return None
+            float(fn(arg0, jax.random.PRNGKey(10 + trial)))
+            dt = time.perf_counter() - t0
+            if trial > 0:
+                best = min(best, dt)
+        note(f"measured {name}: load+{trials} trials in {time.time()-tw:.0f}s"
+             f", best {best:.2f}s")
+        return n_imgs / best
+
+    def left():
+        return deadline - time.time()
+
+    def join(name, budget):
+        if name not in threads:
+            return False
+        threads[name].join(timeout=max(0.0, budget))
+        return name in compiled
+
+    def set_headline(v, batch):
+        if v > out["value"]:
+            out.update(value=round(v, 3), vs_baseline=round(v / BASE, 3),
+                       batch_size=batch)
+            emit()
+
+    if join("synth8", left()):
+        set_headline(measure("synth8"), 8)
+    if join("synth128", left()):
+        set_headline(measure("synth128"), 128)
+    if join("train128", left()):
+        out["train_128_imgs_per_sec"] = round(measure("train128"), 3)
+        emit()
+    r1_ips = plain_ips = None
+    if join("train1024_r1", left()):
+        r1_ips = measure("train1024_r1")
+        out["train_1024_imgs_per_sec"] = round(r1_ips, 3)
+        emit()
+    if join("train1024_plain", left()):
+        plain_ips = measure("train1024_plain")
+    if r1_ips is None and "train_1024_imgs_per_sec" in out:
+        r1_ips = out["train_1024_imgs_per_sec"]  # resumed from prior attempt
+    if need_lazy and r1_ips and plain_ips:
+        # lazy R1 (r1_interval=16, gamma scaled — same time-averaged
+        # penalty): amortized cost = (t_r1 + 15 * t_plain) / 16.
+        LAZY_N = 16
+        t_amort = (1.0 / r1_ips + (LAZY_N - 1) / plain_ips) / LAZY_N
+        out["train_1024_lazy_r1_imgs_per_sec"] = round(1.0 / t_amort, 3)
+        emit()
+
+    # quiet re-measure: earlier numbers were taken while other compile RPCs
+    # were still in flight (server-side contention can under-report); if
+    # budget allows, re-run the cheap headline metrics and keep the max.
+    if all(not t.is_alive() for t in threads.values()) and left() > 60:
+        for name, key, batch in (("synth128", "value", 128),
+                                 ("train128", "train_128_imgs_per_sec", None)):
+            if name in compiled and left() > 30:
+                v = measure(name)
+                if v > (out.get(key) or 0.0):
+                    out[key] = round(v, 3)
+                    if key == "value":
+                        out["vs_baseline"] = round(v / BASE, 3)
+                        out["batch_size"] = batch
+        emit()
+    if errors:
+        out["compile_errors"] = sorted(errors)
+        emit()
+    stop_hb.set()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        parent()

@@ -339,3 +339,22 @@ def test_generate_video_cli(toy_run, tmp_path):
         # PIL merges identical consecutive GIF frames (a barely-trained toy
         # generator can emit near-constant frames), so upper-bound + animated
         assert 1 < getattr(img, "n_frames", 1) <= frames, path
+
+
+def test_packaging_wheel_builds(tmp_path):
+    """pyproject packaging: a wheel builds from the repo and contains the
+    full stylegan_tpu package tree (fresh-venv install path, README
+    'Install'). --no-build-isolation because the env is air-gapped."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path), REPO],
+        capture_output=True, text=True, timeout=300, env=_env())
+    assert r.returncode == 0, r.stdout + r.stderr
+    wheels = [f for f in os.listdir(tmp_path) if f.endswith(".whl")]
+    assert len(wheels) == 1, wheels
+    import zipfile
+    names = zipfile.ZipFile(tmp_path / wheels[0]).namelist()
+    for mod in ("stylegan_tpu/__init__.py", "stylegan_tpu/losses.py",
+                "stylegan_tpu/train/trainer.py",
+                "stylegan_tpu/data/native/stylegan_io.cc"):
+        assert mod in names, f"{mod} missing from wheel"

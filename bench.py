@@ -29,8 +29,13 @@ verified, see CLAUDE.md / docs/DESIGN.md):
   load); steady-state calls are fast.  Warm calls count as trial 0.
 - Fresh processes occasionally hang at startup, and the backend has wedged
   mid-run once: the measurement runs in a child process; the parent watches
-  a heartbeat file, kills on stall, and retries once — the retry RESUMES
-  from the already-measured metrics (passed back via a state file).
+  a heartbeat file (liveness) and retries once on stall — the retry RESUMES
+  from the already-measured metrics (passed back via a state file).  The
+  known mid-run wedge mode is a device-value FETCH that never returns
+  (dispatch succeeds, GIL released, process otherwise healthy) — the
+  liveness beat cannot see it, so every blocking fetch in the worker is
+  armed with a deadman timer that emits the partial JSON and os._exit(3)s,
+  handing control back to the parent's resume path.
 - A hard print-deadline (BENCH_DEADLINE_S, default 540s) guarantees whatever
   has been measured is printed with exit 0 before typical driver timeouts.
 """
@@ -167,6 +172,28 @@ def worker(hb_path, state_path, budget_s):
         print(f"# [{time.time()-T_START:5.0f}s] {msg}", file=sys.stderr,
               flush=True)
 
+    # Deadman around blocking device-value fetches: the one observed mid-run
+    # wedge mode is a fetch that never returns while the process stays
+    # otherwise healthy (so the liveness heartbeat keeps beating).  Arm a
+    # timer before each fetch; on expiry, land the partial JSON on stdout
+    # and exit 3 — the parent retries and RESUMES from the state file.
+    import contextlib
+
+    @contextlib.contextmanager
+    def fetch_guard(limit_s, what):
+        def trip():
+            note(f"fetch_guard: {what} exceeded {limit_s:.0f}s — wedged "
+                 f"backend, bailing for parent retry")
+            print(json.dumps(out), flush=True)
+            os._exit(3)
+        timer = threading.Timer(limit_s, trip)
+        timer.daemon = True
+        timer.start()
+        try:
+            yield
+        finally:
+            timer.cancel()
+
     out = {
         "metric": "1024x1024 synthesis throughput (1 chip)",
         "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
@@ -200,7 +227,8 @@ def worker(hb_path, state_path, budget_s):
     def build_gen_params():
         built["gen"] = jax.jit(
             lambda k: generator_init(k, cfg))(jax.random.PRNGKey(0))
-        jax.block_until_ready(built["gen"])
+        with fetch_guard(180, "generator init"):
+            jax.block_until_ready(built["gen"])
 
     def build_train(res, tag):
         gen_cfg = _gen_cfg(res)
@@ -214,7 +242,8 @@ def worker(hb_path, state_path, budget_s):
                 discriminator_init(jax.random.fold_in(k, 1), dis_cfg),
                 g_tx, d_tx, use_ema=True)
         st = jax.jit(init)(jax.random.PRNGKey(1))
-        jax.block_until_ready(st)
+        with fetch_guard(180, f"train state init {tag}"):
+            jax.block_until_ready(st)
         built[tag] = (gen_cfg, dis_cfg, g_tx, d_tx, st)
 
     t0 = time.time()
@@ -251,8 +280,12 @@ def worker(hb_path, state_path, budget_s):
     def make_train_scan(tag, batch, loss, iters, r1_gamma=None):
         gen_cfg, dis_cfg, g_tx, d_tx, st = built[tag]
         res = dis_cfg.resolution
-        # the shipped perf-path step configuration (trainer yaml knobs:
-        # ops.fuse_scores auto-on under bf16, ops.reuse_g_fwd opt-in)
+        # the full perf-path step configuration (trainer yaml knobs:
+        # ops.fuse_scores auto-on under bf16; ops.reuse_g_fwd OPT-IN — it
+        # has two documented semantic deltas vs the reference's two-forward
+        # pattern, see train/steps.py).  Labeled in the output JSON so the
+        # train numbers aren't mistaken for the all-defaults configuration.
+        out["train_step_knobs"] = "fuse_scores + reuse_g_fwd (perf path)"
         step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx,
                                 depth=dis_cfg.depth - 1, loss=loss,
                                 donate=False, r1_gamma=r1_gamma,
@@ -321,7 +354,10 @@ def worker(hb_path, state_path, budget_s):
         best = float("inf")
         for trial in range(trials + 1):  # first call = program load, slow
             t0 = time.perf_counter()
-            float(fn(arg0, jax.random.PRNGKey(10 + trial)))
+            # trial 0 includes the 5-60s executable load; later trials are
+            # steady-state (<12s for every program here)
+            with fetch_guard(150 if trial == 0 else 60, f"measure {name}"):
+                float(fn(arg0, jax.random.PRNGKey(10 + trial)))
             dt = time.perf_counter() - t0
             if trial > 0:
                 best = min(best, dt)
@@ -383,7 +419,7 @@ def worker(hb_path, state_path, budget_s):
                         out["batch_size"] = batch
         emit()
     if errors:
-        out["compile_errors"] = sorted(errors)
+        out["compile_errors"] = [f"{n}: {r}" for n, r in sorted(errors.items())]
         emit()
     stop_hb.set()
 

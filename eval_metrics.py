@@ -101,6 +101,9 @@ def main():
         labels = n_classes = None
         if opt.conditional:
             if args.class_id is not None:
+                if not 0 <= args.class_id < opt.n_classes:
+                    sys.exit(f"--class_id {args.class_id} out of range for "
+                             f"n_classes={opt.n_classes}")
                 labels = jnp.full((args.batch,), args.class_id, jnp.int32)
             else:
                 n_classes = opt.n_classes

@@ -443,10 +443,16 @@ def test_fused_scoring_matches_separate(loss):
                     .astype(np.float32))
     key, alpha = jax.random.PRNGKey(7), jnp.float32(0.8)
 
+    # logistic: in-loss R1 auto-disables fusion (steps.py can_fuse), so the
+    # production configuration that actually fuses is the lazy-R1 OFF-step
+    # program (r1_gamma=0.0) — test that one, not a vacuous pair of
+    # identical unfused programs
+    r1_gamma = 0.0 if loss == "logistic" else None
     step_sep = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
-                                loss=loss, donate=False)
+                                loss=loss, donate=False, r1_gamma=r1_gamma)
     step_fused = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=2,
-                                  loss=loss, donate=False, fuse_scores=True)
+                                  loss=loss, donate=False, r1_gamma=r1_gamma,
+                                  fuse_scores=True)
     s1, m1 = step_sep(state, reals, z, key, alpha)
     s2, m2 = step_fused(state, reals, z, key, alpha)
     # same math; tolerances cover f32 reduction-order drift through the

@@ -341,6 +341,19 @@ def test_generate_video_cli(toy_run, tmp_path):
         assert 1 < getattr(img, "n_frames", 1) <= frames, path
 
 
+def test_export_generator_cli(toy_run, tmp_path):
+    """AOT serving export CLI: artifact written and --check verifies it
+    matches the live generator bit-for-bit (stylegan_tpu/serving.py)."""
+    art = tmp_path / "gen.jaxexport"
+    r = _run(["export_generator.py", "--config", toy_run["cfg"],
+              "--generator_file",
+              os.path.join(toy_run["out"], "models", "GAN_GEN_SHADOW_2_1.npz"),
+              "--output", str(art), "--batch", "2", "--out_depth", "2",
+              "--platforms", "cpu", "--check"])
+    assert art.exists() and art.stat().st_size > 1000
+    assert "Check OK" in r.stdout
+
+
 def test_packaging_wheel_builds(tmp_path):
     """pyproject packaging: a wheel builds from the repo and contains the
     full stylegan_tpu package tree (fresh-venv install path, README

@@ -36,6 +36,10 @@ def parse_arguments():
                    help="synthesis depth (default: full config resolution)")
     p.add_argument("--platforms", type=str, default="tpu,cpu",
                    help="comma-separated export platforms")
+    p.add_argument("--spatial_devices", type=int, default=1,
+                   help="export a GSPMD spatially-sharded artifact for an "
+                        "N-device serving mesh (activations H-sharded; "
+                        "exports fine from a 1-chip host)")
     p.add_argument("--train_quirks", action="store_true",
                    help="export with the reference's train-mode sampling "
                         "semantics (style mixing + truncation) instead of "
@@ -70,12 +74,14 @@ def main(args):
     blob = export_generator(
         gen_cfg, params, depth=depth, batch_size=args.batch,
         platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
-        train_quirks=args.train_quirks)
+        train_quirks=args.train_quirks, spatial_devices=args.spatial_devices)
     with open(args.output, "wb") as f:
         f.write(blob)
     res = 2 ** (depth + 2)
+    spatial = (f", spatially sharded over {args.spatial_devices} devices"
+               if args.spatial_devices > 1 else "")
     print(f"Exported {res}x{res} generator (batch {args.batch}, "
-          f"platforms {args.platforms}) to {args.output} "
+          f"platforms {args.platforms}{spatial}) to {args.output} "
           f"({len(blob) / 1e6:.1f} MB)")
 
     if args.check:
@@ -90,9 +96,17 @@ def main(args):
         live = make_serving_fn(gen_cfg, params, depth=depth,
                                train_quirks=args.train_quirks)
         want = np.asarray(jax.jit(live)(z, seed, *extra))
-        np.testing.assert_array_equal(got, want)
-        print(f"Check OK: artifact output matches the live generator "
-              f"bit-for-bit ({got.shape}).")
+        if args.spatial_devices > 1:
+            # sharded reductions reassociate (instance-norm stats):
+            # near-equality; trained weights accumulate a few 1e-4 abs over
+            # the stages (<< the 1/255 pixel quantum)
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+            print(f"Check OK: sharded artifact matches the live generator "
+                  f"to f32 roundoff ({got.shape}).")
+        else:
+            np.testing.assert_array_equal(got, want)
+            print(f"Check OK: artifact output matches the live generator "
+                  f"bit-for-bit ({got.shape}).")
     print("Done.")
 
 

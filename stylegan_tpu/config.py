@@ -242,6 +242,12 @@ def get_default_cfg() -> ConfigNode:
     # r1_interval scaling composes with it (effective gamma = r1_gamma * N
     # on regularized steps).  10.0 = reference Losses.py default.
     c.r1_gamma = 10.0
+    # StyleGAN2's full lazy-regularization dynamics (logistic loss): R1
+    # becomes a separate Adam update after the main D update and the D
+    # optimizer gets the official N/(N+1) lr/beta correction
+    # (train/state.py::lazy_reg_adam_correction).  Default off: the folded
+    # single-update form preserves round-2 behavior / checkpoints.
+    c.r1_separate_reg = False
     # minibatch-stddev scope under parallelism: 'auto' = each step's natural
     # semantics (shard_map = shard-local groups, GSPMD = global batch);
     # 'local'/'global' pin one semantic for every step so adaptive mesh

@@ -35,6 +35,27 @@ def make_d_optimizer(learning_rate=0.003, beta_1=0.0, beta_2=0.99, eps=1e-8):
     return optax.adam(learning_rate, b1=beta_1, b2=beta_2, eps=eps)
 
 
+def lazy_reg_adam_correction(opt_args: dict, interval: int) -> dict:
+    """StyleGAN2's lazy-regularization hyperparameter correction.
+
+    With the penalty applied as a separate optimizer update every `interval`
+    minibatches, the D optimizer takes (interval + 1) steps per `interval`
+    minibatches; the official implementation compensates with
+    mb_ratio = interval / (interval + 1):
+        lr    *= mb_ratio
+        betas **= mb_ratio
+    so per-image learning rate and moment half-lives match the
+    every-step-regularized dynamics.  Returns a corrected copy of the
+    make_d_optimizer kwargs (defaults filled from its signature).
+    """
+    c = interval / (interval + 1)
+    out = dict(opt_args)
+    out["learning_rate"] = float(out.get("learning_rate", 0.003)) * c
+    out["beta_1"] = float(out.get("beta_1", 0.0)) ** c
+    out["beta_2"] = float(out.get("beta_2", 0.99)) ** c
+    return out
+
+
 def create_train_state(g_params, d_params, g_tx, d_tx, use_ema: bool) -> TrainState:
     import jax
     import jax.numpy as jnp

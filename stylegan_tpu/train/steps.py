@@ -82,6 +82,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
                      mesh: Optional[Mesh] = None,
                      donate: bool = True, shard_rng: bool = True,
                      r1_gamma: Optional[float] = None,
+                     r1_separate_reg: bool = False,
                      mbstd_scope: Optional[str] = None,
                      mbstd_chunks: int = 1,
                      fuse_scores: bool = False,
@@ -99,6 +100,14 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     every `interval` D updates, keeping the same time-averaged penalty
     gradient (Karras et al. 2020, "lazy regularization"; see docs/DESIGN.md
     for the optimizer-level caveat).
+
+    r1_separate_reg applies the penalty as a SEPARATE Adam update after the
+    main D update — StyleGAN2's lazy-regularization structure (the penalty's
+    gradient spike no longer rides through the main loss's second-moment
+    estimate).  The caller is expected to pair it with the official
+    N/(N+1) lr/beta correction on the D optimizer
+    (state.lazy_reg_adam_correction); the trainer does both when
+    `r1_separate_reg` is set in the config.
     """
     # `loss` is a registry name, or a (dis_loss_fn, gen_loss_fn) pair — the
     # counterpart of the reference accepting a GANLoss instance (GAN.py:464)
@@ -107,7 +116,17 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         loss = "custom"
     else:
         dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
-    if r1_gamma is not None:
+    reg_gamma = None  # separate-pass R1 coefficient (StyleGAN2 lazy-reg)
+    if r1_separate_reg:
+        assert loss == "logistic", \
+            "r1_separate_reg only applies to the logistic loss"
+        from functools import partial
+        from ..losses import logistic_dis_loss
+        eff = 10.0 if r1_gamma is None else float(r1_gamma)
+        if eff != 0.0:
+            reg_gamma = eff
+        dis_loss_fn = partial(logistic_dis_loss, r1_gamma=0.0)
+    elif r1_gamma is not None:
         assert loss == "logistic", "r1_gamma only applies to the logistic loss"
         from functools import partial
         from ..losses import logistic_dis_loss
@@ -142,7 +161,9 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     # into mixed real/fake chunks).  Also skipped when in-loss R1 is active:
     # XLA CSEs the separate-mode D(reals) forward with R1's D(reals) pass,
     # and fusing breaks that CSE for a net slowdown (measured -5%).
-    r1_active = loss == "logistic" and (r1_gamma is None or r1_gamma != 0.0)
+    in_loss_r1 = (loss == "logistic" and not r1_separate_reg
+                  and (r1_gamma is None or r1_gamma != 0.0))
+    r1_active = in_loss_r1 or reg_gamma is not None
     can_fuse = (fuse_scores and mbstd_axis is None and mbstd_chunks == 1
                 and not r1_active)
 
@@ -192,6 +213,23 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     d_grad = jax.value_and_grad(d_loss, has_aux=True)
     g_grad = jax.value_and_grad(g_loss, has_aux=True)
 
+    def reg_update(d_params, d_opt_state, reals_cur, alpha, labels):
+        """Separate R1 Adam update (StyleGAN2 lazy-reg Dreg phase): gradient
+        of 0.5 * gamma * sum||dD/dx||^2 alone, through the same optimizer
+        chain as the main update (official behavior — one optimizer, its
+        hyperparams mb_ratio-corrected by the caller)."""
+        from ..losses import r1_penalty
+
+        def reg_loss(dp):
+            dis_fn = make_dis_fn(dp, alpha, labels)
+            return r1_penalty(dis_fn, reals_cur, axis_name) * (reg_gamma * 0.5)
+
+        grads = jax.grad(reg_loss)(d_params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
+        return optax.apply_updates(d_params, updates), d_opt_state
+
     def step_body(state: TrainState, reals, z, key, alpha, labels):
         if axis_name is not None:
             if shard_rng:
@@ -221,6 +259,9 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
             g_params = _with_avg(g_params, new_avg)
             d_loss_total = d_loss_total + loss_val
         d_loss_mean = d_loss_total / d_repeats
+        if reg_gamma is not None:  # StyleGAN2 order: Dmain, then Dreg
+            d_params, d_opt_state = reg_update(d_params, d_opt_state,
+                                               reals_cur, alpha, labels)
 
         # --- G (same z, fresh key; GAN.py:624-659)
         k_g = jax.random.fold_in(key, d_repeats)
@@ -286,6 +327,9 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                              d_params)
         d_params = optax.apply_updates(d_params, d_updates)
+        if reg_gamma is not None:  # StyleGAN2 order: Dmain, then Dreg
+            d_params, d_opt_state = reg_update(d_params, d_opt_state,
+                                               reals_cur, alpha, labels)
 
         def g_img_loss(imgs):
             dis_fn = make_dis_fn(d_params, alpha, labels)

@@ -41,7 +41,8 @@ class StyleGAN:
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
                  activations_dtype="float32", packed_layout=False,
-                 r1_interval=1, r1_gamma=10.0, remat_blocks=False,
+                 r1_interval=1, r1_gamma=10.0, r1_separate_reg=False,
+                 remat_blocks=False,
                  spatial_devices=0, mbstd_scope=None, fuse_scores=False,
                  reuse_g_fwd=False):
         """mesh: a fixed jax Mesh for every step (caller guarantees batch
@@ -105,6 +106,18 @@ class StyleGAN:
         if self.r1_interval > 1:
             assert self.loss_name == "logistic", \
                 "r1_interval > 1 requires the logistic loss"
+        # StyleGAN2's full lazy-regularization dynamics: R1 becomes a
+        # SEPARATE Adam update after the main D update (steps.reg_update)
+        # and the D optimizer hyperparams get the official N/(N+1)
+        # lr/beta correction — Adam's second moment no longer sees the
+        # folded every-N gradient spike (the DESIGN.md caveat on large N).
+        self.r1_separate_reg = bool(r1_separate_reg)
+        if self.r1_separate_reg:
+            assert self.loss_name == "logistic", \
+                "r1_separate_reg requires the logistic loss"
+            from .state import lazy_reg_adam_correction
+            d_opt_args = lazy_reg_adam_correction(dict(d_opt_args),
+                                                  self.r1_interval)
         self._update_count = 0
 
         self.gen_cfg = generator_config_from_args(
@@ -232,11 +245,17 @@ class StyleGAN:
                 r1_gamma = self.r1_gamma * self.r1_interval if with_r1 else 0.0
             elif self.loss_name == "logistic" and self.r1_gamma != 10.0:
                 r1_gamma = self.r1_gamma  # non-default gamma, every-step R1
+            # separate-reg only on programs that actually carry the penalty
+            # (the lazy gamma=0 program has no reg pass at all)
+            separate = self.r1_separate_reg and (with_r1 or not lazy)
+            if separate and r1_gamma is None:
+                r1_gamma = self.r1_gamma
             common = dict(depth=depth, loss=self.loss_name,
                           d_repeats=self.d_repeats, use_ema=self.use_ema,
                           ema_decay=self.ema_decay,
                           conditional=self.conditional, drift=self.drift,
-                          r1_gamma=r1_gamma, mbstd_scope=self.mbstd_scope,
+                          r1_gamma=r1_gamma, r1_separate_reg=separate,
+                          mbstd_scope=self.mbstd_scope,
                           fuse_scores=self.fuse_scores,
                           reuse_g_fwd=self.reuse_g_fwd)
             if spatial:

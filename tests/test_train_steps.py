@@ -522,3 +522,88 @@ def test_reuse_g_fwd_matches_recompute():
                         jax.tree_util.tree_leaves(s2.g_shadow)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5, rtol=5e-4)
+
+
+def test_separate_reg_matches_manual_two_updates():
+    """r1_separate_reg (StyleGAN2 lazy-reg structure): the R1 penalty is a
+    SECOND optimizer update after the main gamma=0 D update.  Verified
+    against a hand-composed two-SGD-update reference built from the public
+    loss primitives, and the reported d_loss is the main loss alone."""
+    import optax
+    from stylegan_tpu.losses import logistic_dis_loss, r1_penalty
+    from stylegan_tpu.models import discriminator_apply, generator_apply
+
+    gen_cfg, dis_cfg = make_cfgs()
+    g_params = generator_init(jax.random.PRNGKey(70), gen_cfg)
+    d_params = discriminator_init(jax.random.PRNGKey(71), dis_cfg)
+    lr = 0.01
+    g_tx, d_tx = optax.sgd(lr), optax.sgd(lr)
+    state = create_train_state(g_params, d_params, g_tx, d_tx, use_ema=False)
+    gamma, depth, alpha = 80.0, 1, jnp.float32(0.6)
+    reals = jax.random.normal(jax.random.PRNGKey(72), (8, RES, RES, 3))
+    z = jax.random.normal(jax.random.PRNGKey(73), (8, 32))
+    key = jax.random.PRNGKey(74)
+
+    step = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                            loss="logistic", r1_gamma=gamma,
+                            r1_separate_reg=True, use_ema=False,
+                            donate=False)
+    new_state, metrics = step(state, reals, z, key, alpha)
+
+    # manual reference: same internals as step_body (per-repeat key fold,
+    # stop-gradient fakes), then SGD(main gamma=0) followed by SGD(penalty)
+    reals_cur = progressive_downsample(reals, dis_cfg.depth, depth, alpha,
+                                       dis_cfg.structure)
+    k0 = jax.random.fold_in(key, 0)
+    out = generator_apply(gen_cfg, g_params, z, depth=depth, alpha=alpha,
+                          rng=k0, train=True)
+    fakes = jax.lax.stop_gradient(out.images)
+
+    def dis_fn(dp):
+        return lambda x: discriminator_apply(dis_cfg, dp, x, depth=depth,
+                                             alpha=alpha)
+
+    def main_loss(dp):
+        return logistic_dis_loss(dis_fn(dp), reals_cur, fakes, r1_gamma=0.0)
+
+    def reg_loss(dp):
+        return r1_penalty(dis_fn(dp), reals_cur) * (gamma * 0.5)
+
+    sub = lambda p, g: p - lr * g
+    d1 = jax.tree_util.tree_map(sub, d_params, jax.grad(main_loss)(d_params))
+    d2 = jax.tree_util.tree_map(sub, d1, jax.grad(reg_loss)(d1))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+        new_state.d_params, d2)
+    np.testing.assert_allclose(float(metrics["d_loss"]),
+                               float(main_loss(d_params)), rtol=1e-5)
+
+    # the folded form (same gamma in-loss) takes a different optimizer path
+    folded = build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=depth,
+                              loss="logistic", r1_gamma=gamma,
+                              use_ema=False, donate=False)
+    f_state, _ = folded(state, reals, z, key, alpha)
+    diff = max(float(jnp.abs(a - b).max()) for a, b in
+               zip(jax.tree_util.tree_leaves(f_state.d_params),
+                   jax.tree_util.tree_leaves(new_state.d_params)))
+    assert diff > 1e-7, diff
+
+    with pytest.raises(AssertionError):  # logistic-only knob
+        build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, depth=1,
+                         loss="hinge", r1_separate_reg=True)
+
+
+def test_lazy_reg_adam_correction_math():
+    """The official StyleGAN2 mb_ratio correction: lr *= N/(N+1),
+    betas **= N/(N+1); defaults filled from make_d_optimizer."""
+    from stylegan_tpu.train.state import lazy_reg_adam_correction
+    c = 16 / 17
+    out = lazy_reg_adam_correction(
+        {"learning_rate": 0.002, "beta_1": 0.5, "beta_2": 0.99}, 16)
+    np.testing.assert_allclose(out["learning_rate"], 0.002 * c)
+    np.testing.assert_allclose(out["beta_1"], 0.5 ** c)
+    np.testing.assert_allclose(out["beta_2"], 0.99 ** c)
+    out = lazy_reg_adam_correction({"eps": 1e-8}, 1)
+    np.testing.assert_allclose(out["learning_rate"], 0.003 * 0.5)
+    assert out["eps"] == 1e-8  # untouched keys pass through

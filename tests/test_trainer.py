@@ -307,3 +307,27 @@ def test_adaptive_mesh_respects_stddev_group():
     # batch 4 and 2 -> single device, exactly the reference's group=min(4,B)
     assert trainer._mesh_for_batch(4) is None
     assert trainer._mesh_for_batch(2) is None
+
+
+def test_separate_reg_trainer(tmp_path):
+    """r1_separate_reg in the trainer: StyleGAN2's separate Dreg Adam update
+    plus the N/(N+1) lr/beta correction on the D optimizer.  Same-seed
+    trainers must diverge from the folded form on the regularized update,
+    alternate stably, and refuse non-logistic losses."""
+    t_sep = make_trainer(str(tmp_path), loss="logistic", r1_interval=2,
+                         r1_separate_reg=True)
+    t_fold = make_trainer(str(tmp_path), loss="logistic", r1_interval=2)
+    imgs = np.random.RandomState(5).randn(8, RES, RES, 3).astype(np.float32)
+    for _ in range(3):  # update 0 regularized, 1 plain, 2 regularized
+        d1, g1 = t_sep.train_on_batch(imgs, depth=1, alpha=1.0)
+        d2, g2 = t_fold.train_on_batch(imgs, depth=1, alpha=1.0)
+        assert np.isfinite(d1) and np.isfinite(g1)
+        assert np.isfinite(d2) and np.isfinite(g2)
+    diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(
+                   jax.tree_util.tree_leaves(t_sep.state.d_params),
+                   jax.tree_util.tree_leaves(t_fold.state.d_params)))
+    assert diff > 1e-7, diff
+
+    with pytest.raises(AssertionError):
+        make_trainer(str(tmp_path), loss="hinge", r1_separate_reg=True)

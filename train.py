@@ -113,6 +113,8 @@ def main():
                          packed_layout=packed,
                          r1_interval=getattr(opt, "r1_interval", 1),
                          r1_gamma=getattr(opt, "r1_gamma", 10.0),
+                         r1_separate_reg=getattr(opt, "r1_separate_reg",
+                                                 False),
                          remat_blocks=getattr(opt.ops, "remat", False),
                          spatial_devices=getattr(opt.parallel, "spatial", 0),
                          mbstd_scope=getattr(opt, "mbstd_scope", None),

@@ -30,15 +30,16 @@ if REPO_ROOT not in sys.path:
 RES = 128
 
 
-def structured_batch(rs: np.random.RandomState, n: int) -> np.ndarray:
+def structured_batch(rs: np.random.RandomState, n: int,
+                     res: int = RES) -> np.ndarray:
     """Smooth colored gradient-blobs in [-1, 1] NHWC — structured enough
     that SWD separates a learning generator from noise (same family as the
     round-2 runs, so curves are comparable)."""
-    yy, xx = np.meshgrid(np.linspace(-1, 1, RES), np.linspace(-1, 1, RES),
+    yy, xx = np.meshgrid(np.linspace(-1, 1, res), np.linspace(-1, 1, res),
                          indexing="ij")
-    out = np.empty((n, RES, RES, 3), np.float32)
+    out = np.empty((n, res, res, 3), np.float32)
     for i in range(n):
-        img = np.zeros((RES, RES, 3), np.float32)
+        img = np.zeros((res, res, 3), np.float32)
         # background color gradient
         g = rs.randn(2, 3).astype(np.float32) * 0.3
         img += xx[..., None] * g[0] + yy[..., None] * g[1]

@@ -29,8 +29,10 @@ verified, see CLAUDE.md / docs/DESIGN.md):
   load); steady-state calls are fast.  Warm calls count as trial 0.
 - Fresh processes occasionally hang at startup, and the backend has wedged
   mid-run once: the measurement runs in a child process; the parent watches
-  a heartbeat file (liveness) and retries once on stall — the retry RESUMES
-  from the already-measured metrics (passed back via a state file).  The
+  a heartbeat file (liveness) and retries while the deadline budget allows —
+  each retry RESUMES from the already-measured metrics (state file).  The
+  FIRST device query (client init through the relay) is itself a hang mode
+  (observed 3x in a row during a tunnel outage) and is deadman-guarded.  The
   known mid-run wedge mode is a device-value FETCH that never returns
   (dispatch succeeds, GIL released, process otherwise healthy) — the
   liveness beat cannot see it, so every blocking fetch in the worker is
@@ -73,9 +75,11 @@ def parent():
     state = tempfile.NamedTemporaryFile(prefix="bench_state_", suffix=".json",
                                         delete=False)
     state.close()
-    for attempt in (1, 2):
+    attempt = 0
+    while True:
+        attempt += 1
         if DEADLINE_S - (time.time() - T_START) < 90:
-            break
+            break  # not enough budget left for another attempt
         hb = tempfile.NamedTemporaryFile(prefix="bench_hb_", delete=False)
         hb.close()
         if last_json:  # retry resumes: skip metrics already measured
@@ -197,9 +201,16 @@ def worker(hb_path, state_path, budget_s):
     out = {
         "metric": "1024x1024 synthesis throughput (1 chip)",
         "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-        "batch_size": 0, "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]), "baseline_note": BASELINE_NOTE,
+        "batch_size": 0, "baseline_note": BASELINE_NOTE,
     }
+    # The FIRST device query triggers the tunneled backend's client init —
+    # an observed hang mode (seen live: worker stuck here >6 min with the
+    # liveness heartbeat still beating, so the parent never intervened).
+    # Guard it like any other blocking fetch: bail for a parent retry,
+    # which gets a fresh process (fresh tunnel connection, usually fine).
+    with fetch_guard(120, "backend init (first device query)"):
+        out["backend"] = jax.default_backend()
+        out["device"] = str(jax.devices()[0])
     try:
         with open(state_path) as f:
             txt = f.read().strip()

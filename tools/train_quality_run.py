@@ -1,6 +1,6 @@
 """Long-horizon training-quality evidence run (VERDICT r2 #8).
 
-Trains the full perf stack at 128^2 — logistic + lazy R1 (interval 16),
+Trains the full perf stack (default 128^2, --res selects) — logistic + lazy R1 (interval 16),
 space-to-depth packed execution, bf16 activations, EMA — on a structured
 synthetic dataset for --steps fused updates (default 10k), tracking the
 EMA generator's SWD against held-out reals every --eval_every steps and
@@ -27,11 +27,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-RES = 128
-
-
 def structured_batch(rs: np.random.RandomState, n: int,
-                     res: int = RES) -> np.ndarray:
+                     res: int) -> np.ndarray:
     """Smooth colored gradient-blobs in [-1, 1] NHWC — structured enough
     that SWD separates a learning generator from noise (same family as the
     round-2 runs, so curves are comparable)."""
@@ -68,6 +65,8 @@ def save_grid(path: str, images: np.ndarray, cols: int = 6) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--res", type=int, default=128,
+                    help="training resolution (power of two)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval_every", type=int, default=500)
     ap.add_argument("--grid_every", type=int, default=2000)
@@ -76,6 +75,7 @@ def main():
     ap.add_argument("--budget_s", type=float, default=None,
                     help="stop cleanly after this many seconds")
     args = ap.parse_args()
+    RES = args.res
     os.makedirs(args.out, exist_ok=True)
 
     import jax
@@ -102,15 +102,15 @@ def main():
         loss="logistic", use_ema=True, ema_decay=0.999,
         seed=args.seed, activations_dtype="bfloat16", packed_layout=True,
         r1_interval=16, fuse_scores=True, reuse_g_fwd=True)
-    depth = trainer.depth - 1  # full 128^2, no progressive schedule
+    depth = trainer.depth - 1  # full resolution, no progressive schedule
 
     rs = np.random.RandomState(args.seed)
     # finite training set (like a real dataset; also keeps host-side data
     # generation off the step's critical path) + horizontal-flip augment
     print("# generating 2048-image training pool...", file=sys.stderr,
           flush=True)
-    pool = structured_batch(rs, 2048)
-    eval_reals = structured_batch(np.random.RandomState(777), 256)
+    pool = structured_batch(rs, 2048, RES)
+    eval_reals = structured_batch(np.random.RandomState(777), 256, RES)
     save_grid(os.path.join(args.out, "reals.png"), eval_reals[:36])
     sample_fn = trainer._get_sample_fn(depth)
     eval_z = np.asarray(
@@ -165,7 +165,7 @@ def main():
         "swd_avg_first": history[0]["swd_x1e3"].get("avg"),
         "swd_avg_last": history[-1]["swd_x1e3"].get("avg"),
         "wall_s": round(time.time() - t0, 1),
-        "config": "128^2 logistic lazy-R1/16 packed bf16 EMA batch "
+        "config": f"{RES}^2 logistic lazy-R1/16 packed bf16 EMA batch "
                   f"{args.batch}",
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -119,6 +119,13 @@ def parent():
             time.sleep(2)
         t.join(timeout=10)
         last_json = got_line[0]
+        # a worker can die with NO output at all (observed: silent native
+        # crash of the tunnel client ~8 min in — no traceback, no
+        # fetch-guard trip, no heartbeat stall); log the rc so the failure
+        # mode is diagnosable from the driver's stderr capture
+        print(f"# parent: worker attempt {attempt} exited rc="
+              f"{proc.returncode} after {time.time()-spawn_t:.0f}s",
+              file=sys.stderr, flush=True)
         try:
             os.unlink(hb.name)
         except OSError:
@@ -184,12 +191,21 @@ def worker(hb_path, state_path, budget_s):
     import contextlib
 
     @contextlib.contextmanager
-    def fetch_guard(limit_s, what):
+    def fetch_guard(limit_s, what, fatal=True):
+        """fatal=True: bail for a parent retry (right for startup-phase
+        hangs, where a fresh process fixes the tunnel connection and the
+        budget still allows recompiles).  fatal=False (mid-run measures):
+        land the partial JSON as insurance but KEEP WAITING — late in the
+        budget a retry cannot recompile anything anyway, and a merely-slow
+        (not wedged) fetch can still complete and upgrade the result; the
+        parent's deadline kill bounds the wait either way."""
         def trip():
-            note(f"fetch_guard: {what} exceeded {limit_s:.0f}s — wedged "
-                 f"backend, bailing for parent retry")
+            note(f"fetch_guard: {what} exceeded {limit_s:.0f}s — "
+                 + ("bailing for parent retry" if fatal
+                    else "landing partial JSON, waiting on"))
             print(json.dumps(out), flush=True)
-            os._exit(3)
+            if fatal:
+                os._exit(3)
         timer = threading.Timer(limit_s, trip)
         timer.daemon = True
         timer.start()
@@ -232,16 +248,25 @@ def worker(hb_path, state_path, budget_s):
     need_lazy = "train_1024_lazy_r1_imgs_per_sec" not in out
 
     # ---- stage 0: jitted inits, in parallel (eager init = 27ms/dispatch
-    # through the tunnel; one fused program is 3-4x faster) -----------------
-    built = {}
+    # through the tunnel; one fused program is 3-4x faster).  Inits run
+    # CONCURRENTLY with the stage-1 compiles: compiles lower against
+    # jax.eval_shape abstract states, so they never wait on init values —
+    # on a degraded tunnel (observed: 170s inits + 180s compiles) this
+    # halves time-to-first-metric vs the old serial staging. ---------------
+    built = {}          # tag -> real arrays (ready when init_done[tag] set)
+    init_done = {"gen": threading.Event(), "t128": threading.Event(),
+                 "t1024": threading.Event()}
+
+    def gen_init_fn(k):
+        return generator_init(k, cfg)
 
     def build_gen_params():
-        built["gen"] = jax.jit(
-            lambda k: generator_init(k, cfg))(jax.random.PRNGKey(0))
-        with fetch_guard(180, "generator init"):
+        built["gen"] = jax.jit(gen_init_fn)(jax.random.PRNGKey(0))
+        with fetch_guard(240, "generator init"):
             jax.block_until_ready(built["gen"])
+        init_done["gen"].set()
 
-    def build_train(res, tag):
+    def train_setup(res):
         gen_cfg = _gen_cfg(res)
         dis_cfg = DiscriminatorConfig(resolution=res, blur_filter=(1, 2, 1),
                                       structure="linear", packed=True)
@@ -252,26 +277,40 @@ def worker(hb_path, state_path, budget_s):
                 generator_init(jax.random.fold_in(k, 0), gen_cfg),
                 discriminator_init(jax.random.fold_in(k, 1), dis_cfg),
                 g_tx, d_tx, use_ema=True)
-        st = jax.jit(init)(jax.random.PRNGKey(1))
-        with fetch_guard(180, f"train state init {tag}"):
-            jax.block_until_ready(st)
-        built[tag] = (gen_cfg, dis_cfg, g_tx, d_tx, st)
+        return gen_cfg, dis_cfg, g_tx, d_tx, init
 
-    t0 = time.time()
+    setups = {"t128": train_setup(128), "t1024": train_setup(1024)}
+
+    def build_train(tag):
+        st = jax.jit(setups[tag][4])(jax.random.PRNGKey(1))
+        with fetch_guard(240, f"train state init {tag}"):
+            jax.block_until_ready(st)
+        built[tag] = st
+        init_done[tag].set()
+
+    init_err = {}
+
+    def guarded_init(fn, tag, *args):
+        try:
+            fn(*args)
+            note(f"init ready: {tag}")
+        except Exception as e:  # noqa: BLE001 — fail only this tag's metrics
+            init_err[tag] = repr(e)
+            note(f"init FAILED {tag}: {e!r}")
+            init_done[tag].set()
+
     init_jobs = []
     if need_synth or need_synth8:
-        init_jobs.append(threading.Thread(target=build_gen_params))
+        init_jobs.append(threading.Thread(
+            target=guarded_init, args=(build_gen_params, "gen")))
     if need_t128:
-        init_jobs.append(threading.Thread(target=build_train,
-                                          args=(128, "t128")))
+        init_jobs.append(threading.Thread(
+            target=guarded_init, args=(build_train, "t128", "t128")))
     if need_r1 or need_lazy:
-        init_jobs.append(threading.Thread(target=build_train,
-                                          args=(1024, "t1024")))
+        init_jobs.append(threading.Thread(
+            target=guarded_init, args=(build_train, "t1024", "t1024")))
     for t in init_jobs:
         t.start()
-    for t in init_jobs:
-        t.join()
-    note(f"inits done in {time.time()-t0:.0f}s")
 
     def make_synth(batch):
         depth = cfg.synthesis.depth - 1
@@ -286,10 +325,11 @@ def worker(hb_path, state_path, budget_s):
                 return c + o.images.mean(), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
             return acc
-        return scan_fwd, built["gen"], batch * ITERS
+        arg_struct = jax.eval_shape(gen_init_fn, jax.random.PRNGKey(0))
+        return scan_fwd, arg_struct, "gen", batch * ITERS
 
     def make_train_scan(tag, batch, loss, iters, r1_gamma=None):
-        gen_cfg, dis_cfg, g_tx, d_tx, st = built[tag]
+        gen_cfg, dis_cfg, g_tx, d_tx, init = setups[tag]
         res = dis_cfg.resolution
         # the full perf-path step configuration (trainer yaml knobs:
         # ops.fuse_scores auto-on under bf16; ops.reuse_g_fwd OPT-IN — it
@@ -317,19 +357,21 @@ def worker(hb_path, state_path, budget_s):
             (s, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)),
                                        jnp.arange(iters))
             return acc
-        return scan_steps, st, batch * iters
+        arg_struct = jax.eval_shape(init, jax.random.PRNGKey(1))
+        return scan_steps, arg_struct, tag, batch * iters
 
-    # ---- stage 1: AOT-compile everything in parallel threads -------------
+    # ---- stage 1: AOT-compile everything in parallel threads, overlapped
+    # with the stage-0 inits (compiles take abstract arg structs) ----------
     compiled = {}
     errors = {}
 
     def compile_job(name, build):
         try:
             t0 = time.time()
-            fn, arg0, n_imgs = build()
+            fn, arg_struct, arg_tag, n_imgs = build()
             key = jax.random.PRNGKey(7)
-            compiled[name] = (jax.jit(fn).lower(arg0, key).compile(),
-                              arg0, n_imgs)
+            compiled[name] = (jax.jit(fn).lower(arg_struct, key).compile(),
+                              arg_tag, n_imgs)
             note(f"compiled {name} in {time.time()-t0:.0f}s")
         except Exception as e:  # noqa: BLE001 — report, never die
             errors[name] = repr(e)
@@ -360,14 +402,23 @@ def worker(hb_path, state_path, budget_s):
         print(json.dumps(out), flush=True)
 
     def measure(name, trials=2):
-        fn, arg0, n_imgs = compiled[name]
+        fn, arg_tag, n_imgs = compiled[name]
+        # wait for the matching init thread (runs concurrently with compiles)
+        if not init_done[arg_tag].wait(timeout=max(0.0, left())):
+            raise RuntimeError(f"init {arg_tag} not ready before deadline")
+        if arg_tag in init_err:
+            raise RuntimeError(f"init {arg_tag} failed: {init_err[arg_tag]}")
+        arg0 = built[arg_tag]
         tw = time.time()
         best = float("inf")
         for trial in range(trials + 1):  # first call = program load, slow
             t0 = time.perf_counter()
-            # trial 0 includes the 5-60s executable load; later trials are
-            # steady-state (<12s for every program here)
-            with fetch_guard(150 if trial == 0 else 60, f"measure {name}"):
+            # trial 0 includes the executable load: 5-60s normally, but
+            # observed >150s on a degraded tunnel with compiles in flight —
+            # scale the guard to the remaining budget instead of bailing
+            limit = (min(240.0, max(90.0, left() - 45.0)) if trial == 0
+                     else 60)
+            with fetch_guard(limit, f"measure {name}", fatal=False):
                 float(fn(arg0, jax.random.PRNGKey(10 + trial)))
             dt = time.perf_counter() - t0
             if trial > 0:
@@ -391,20 +442,36 @@ def worker(hb_path, state_path, budget_s):
                        batch_size=batch)
             emit()
 
+    def try_measure(name):
+        """One metric must never sink the rest (e.g. its init thread died)."""
+        try:
+            return measure(name)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = repr(e)
+            note(f"measure FAILED {name}: {e!r}")
+            return None
+
     if join("synth8", left()):
-        set_headline(measure("synth8"), 8)
+        v = try_measure("synth8")
+        if v:
+            set_headline(v, 8)
     if join("synth128", left()):
-        set_headline(measure("synth128"), 128)
+        v = try_measure("synth128")
+        if v:
+            set_headline(v, 128)
     if join("train128", left()):
-        out["train_128_imgs_per_sec"] = round(measure("train128"), 3)
-        emit()
+        v = try_measure("train128")
+        if v:
+            out["train_128_imgs_per_sec"] = round(v, 3)
+            emit()
     r1_ips = plain_ips = None
     if join("train1024_r1", left()):
-        r1_ips = measure("train1024_r1")
-        out["train_1024_imgs_per_sec"] = round(r1_ips, 3)
-        emit()
+        r1_ips = try_measure("train1024_r1")
+        if r1_ips:
+            out["train_1024_imgs_per_sec"] = round(r1_ips, 3)
+            emit()
     if join("train1024_plain", left()):
-        plain_ips = measure("train1024_plain")
+        plain_ips = try_measure("train1024_plain")
     if r1_ips is None and "train_1024_imgs_per_sec" in out:
         r1_ips = out["train_1024_imgs_per_sec"]  # resumed from prior attempt
     if need_lazy and r1_ips and plain_ips:
@@ -422,8 +489,8 @@ def worker(hb_path, state_path, budget_s):
         for name, key, batch in (("synth128", "value", 128),
                                  ("train128", "train_128_imgs_per_sec", None)):
             if name in compiled and left() > 30:
-                v = measure(name)
-                if v > (out.get(key) or 0.0):
+                v = try_measure(name)
+                if v and v > (out.get(key) or 0.0):
                     out[key] = round(v, 3)
                     if key == "value":
                         out["vs_baseline"] = round(v / BASE, 3)

@@ -44,9 +44,11 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
-def global_shard(mesh, local, axis_name: str = "data"):
+def global_shard(mesh, local, axis_name: str = "data", spec=None):
     """Assemble each host's local batch shard into one global batch-sharded
-    array over `mesh`'s `axis_name`.
+    array over `mesh`'s `axis_name` (or an explicit PartitionSpec `spec`,
+    e.g. P('data', 'spatial') for the 2-D GSPMD train step — any extra
+    sharded axes must then be fully covered by this host's local data).
 
     `local` is this process's slice of the global batch (the loader's
     per-host stripe); the returned jax.Array has global shape
@@ -58,7 +60,7 @@ def global_shard(mesh, local, axis_name: str = "data"):
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis_name))
+    sharding = NamedSharding(mesh, P(axis_name) if spec is None else spec)
     local = np.asarray(local)
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)

@@ -285,6 +285,11 @@ class StyleGAN:
                                labels=None):
         from .steps import build_d_step
         mesh = self._mesh_for_batch(real_batch.shape[0])
+        if mesh is not None and "spatial" in mesh.axis_names:
+            raise NotImplementedError(
+                "the split optimize_discriminator/optimize_generator API is "
+                "data-parallel only; 2-D (data, spatial) meshes run through "
+                "the fused train_on_batch")
         self._ensure_placement(mesh)
         key = ("d", depth, mesh.size if mesh is not None else 1)
         if key not in self._steps:
@@ -311,6 +316,11 @@ class StyleGAN:
     def optimize_generator(self, noise, real_batch, depth, alpha, labels=None):
         from .steps import build_g_step
         mesh = self._mesh_for_batch(real_batch.shape[0])
+        if mesh is not None and "spatial" in mesh.axis_names:
+            raise NotImplementedError(
+                "the split optimize_discriminator/optimize_generator API is "
+                "data-parallel only; 2-D (data, spatial) meshes run through "
+                "the fused train_on_batch")
         self._ensure_placement(mesh)
         key = ("g", depth, mesh.size if mesh is not None else 1)
         if key not in self._steps:
@@ -348,17 +358,35 @@ class StyleGAN:
         trainer requires a fixed mesh spanning all global devices."""
         nproc = jax.process_count()
         global_batch = images.shape[0] * nproc
-        if self.mesh is not None and global_batch % self.mesh.size != 0:
-            raise ValueError(
-                f"global batch {global_batch} must divide evenly over the "
-                f"{self.mesh.size}-device mesh (adjust sched.batch_sizes or "
-                "the mesh size, or use max_devices= for adaptive meshes)")
+        if self.mesh is not None:
+            # fixed meshes may be 2-D ('data', 'spatial'): the batch only
+            # has to divide the data axis, height handles the rest
+            data_n = (self.mesh.shape["data"]
+                      if "spatial" in self.mesh.axis_names else self.mesh.size)
+            if global_batch % data_n != 0:
+                raise ValueError(
+                    f"global batch {global_batch} must divide evenly over "
+                    f"the mesh's {data_n}-device data axis (adjust "
+                    "sched.batch_sizes or the mesh, or use max_devices= for "
+                    "adaptive meshes)")
         if nproc > 1 and self.mesh is None:
             raise ValueError(
                 "multi-host training requires a fixed global mesh "
                 "(StyleGAN(mesh=create_mesh()) after initialize_distributed)"
                 " — adaptive max_devices meshes are single-process only")
         mesh = self._mesh_for_step(global_batch, depth)
+        spatial = mesh is not None and "spatial" in mesh.axis_names
+        if nproc > 1 and spatial:
+            # each host's local images carry their full height, so every
+            # spatial shard of a data row must live on that row's process
+            di = mesh.axis_names.index("data")
+            rows = np.moveaxis(mesh.devices, di, 0).reshape(
+                mesh.shape["data"], -1)
+            if any(len({d.process_index for d in row}) != 1 for row in rows):
+                raise ValueError(
+                    "multi-host (data, spatial) meshes need process-aligned "
+                    "data rows (reshape jax.devices() so each host's devices "
+                    "form whole rows)")
         self._ensure_placement(mesh)
         with_r1 = (self._update_count % self.r1_interval) == 0
         self._update_count += 1
@@ -366,13 +394,18 @@ class StyleGAN:
         key = self._next_key()
         dt = self.activations_dtype
         if nproc > 1:
+            from jax.sharding import PartitionSpec as P
+
             from ..parallel.distributed import global_shard
             # each host draws only its own stripe of the global z
             z_local = jax.random.normal(
                 jax.random.fold_in(jax.random.fold_in(key, 0xBEEF),
                                    jax.process_index()),
                 (images.shape[0], self.latent_size), dt)
-            reals = global_shard(mesh, np.asarray(images, dt))
+            reals_spec = (P("data", "spatial", None, None) if spatial
+                          else P("data"))
+            reals = global_shard(mesh, np.asarray(images, dt),
+                                 spec=reals_spec)
             z = global_shard(mesh, np.asarray(z_local))
         else:
             z = jax.random.normal(jax.random.fold_in(key, 0xBEEF),

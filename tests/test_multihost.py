@@ -20,6 +20,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+GSPMD_WORKER = os.path.join(REPO, "tests", "multihost_gspmd_worker.py")
 
 
 def _free_port() -> int:
@@ -72,5 +73,44 @@ def test_two_process_training_stays_in_sync(tmp_path):
         assert a.shape == b.shape and a.size > 0
         # replicated state must never diverge across processes (same pmean'd
         # grads -> bitwise-identical Adam updates)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+        assert np.all(np.isfinite(a)), name
+
+
+@pytest.mark.slow
+def test_two_process_gspmd_training_stays_in_sync(tmp_path):
+    """The 2-D (data x spatial) GSPMD step across a real process boundary:
+    each host owns one data row (its images split over height on its own 4
+    devices), logistic+R1 — replicated parameters and global-batch losses
+    must come out identical on both hosts."""
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, GSPMD_WORKER, str(port), str(pid), str(tmp_path)],
+        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"gspmd worker failed:\n{out}"
+
+    losses = []
+    for pid in (0, 1):
+        with open(tmp_path / f"gspmd_losses_{pid}.json") as f:
+            losses.append(json.load(f))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    np.testing.assert_array_equal(np.asarray(losses[0]),
+                                  np.asarray(losses[1]))
+
+    for name in ("gspmd_gparams", "gspmd_dparams", "gspmd_shadow"):
+        a = np.load(tmp_path / f"{name}_0.npy")
+        b = np.load(tmp_path / f"{name}_1.npy")
+        assert a.shape == b.shape and a.size > 0
         np.testing.assert_array_equal(a, b, err_msg=name)
         assert np.all(np.isfinite(a)), name

@@ -233,3 +233,53 @@ def test_gspmd_step_rejects_bad_mesh():
         build_gspmd_train_step(cfg, dis_cfg, make_g_optimizer(),
                                make_d_optimizer(), depth=dis_cfg.depth - 1,
                                mesh=mesh_1d)
+
+
+def test_trainer_fixed_2d_mesh_matches_single_device():
+    """A fixed ('data', 'spatial') mesh handed straight to StyleGAN: the
+    trainer must route train_on_batch through the GSPMD step (train_on_batch
+    shards reals over batch AND height) and produce the single-device losses
+    — the trainer-level face of build_gspmd_train_step, used by multi-host
+    deployments where the adaptive-mesh upgrade path is unavailable
+    (tests/multihost_gspmd_worker.py is the 2-process version)."""
+    from jax.sharding import Mesh
+    from stylegan_tpu.train import StyleGAN
+
+    res, latent = 16, 32
+    g_args = {"latent_size": latent, "mapping_layers": 2,
+              "fmap_base": 128, "fmap_max": 32, "blur_filter": [1, 2, 1],
+              "truncation_psi": 0.7, "truncation_cutoff": 8}
+    d_args = {"use_wscale": True, "fmap_base": 128, "fmap_max": 32,
+              "blur_filter": [1, 2, 1]}
+    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
+                "eps": 1e-8}
+
+    def build(mesh):
+        return StyleGAN(structure="linear", resolution=res, num_channels=3,
+                        latent_size=latent, g_args=g_args, d_args=d_args,
+                        g_opt_args=opt_args, d_opt_args=opt_args,
+                        loss="logistic", use_ema=True, seed=0, mesh=mesh)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "spatial"))
+    reals = np.random.RandomState(3).randn(2, 8, res, res, 3).astype(
+        np.float32)
+
+    ref, got = [], []
+    single = build(None)
+    sharded = build(mesh)
+    for i in range(2):
+        ref.append(single.train_on_batch(reals[i], depth=2, alpha=0.5))
+        got.append(sharded.train_on_batch(reals[i], depth=2, alpha=0.5))
+    assert any("gspmd" in str(k) for k in sharded._steps), \
+        f"expected a GSPMD step, got keys {list(sharded._steps)}"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+    # the split single-net API is data-parallel only on 2-D meshes
+    with pytest.raises(NotImplementedError, match="train_on_batch"):
+        sharded.optimize_discriminator(
+            np.zeros((8, latent), np.float32), reals[0], depth=2, alpha=0.5)
+
+    # batch must divide the data axis, not the full mesh
+    with pytest.raises(ValueError, match="data axis"):
+        sharded.train_on_batch(reals[0][:3], depth=2, alpha=0.5)

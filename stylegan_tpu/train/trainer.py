@@ -578,11 +578,25 @@ class StyleGAN:
             d_params=load_discriminator_file(self.state.d_params, path))
 
     def load_gen_optim(self, path):
-        tree, _ = ckpt.load_params_into(self.state.g_opt_state, path)
+        """Our .npz, or the reference's GAN_GEN_OPTIM_*.pth (torch Adam
+        moments translated into optax — reference train.py:40-48)."""
+        if path.endswith(".pth"):
+            from ..convert.torch_optim import load_adam_state_file
+            tree = load_adam_state_file(self.state.g_opt_state,
+                                        self.state.g_params, path,
+                                        "generator")
+        else:
+            tree, _ = ckpt.load_params_into(self.state.g_opt_state, path)
         self.state = self.state._replace(g_opt_state=tree)
 
     def load_dis_optim(self, path):
-        tree, _ = ckpt.load_params_into(self.state.d_opt_state, path)
+        if path.endswith(".pth"):
+            from ..convert.torch_optim import load_adam_state_file
+            tree = load_adam_state_file(self.state.d_opt_state,
+                                        self.state.d_params, path,
+                                        "discriminator")
+        else:
+            tree, _ = ckpt.load_params_into(self.state.d_opt_state, path)
         self.state = self.state._replace(d_opt_state=tree)
 
     # full-train-state checkpointing (one artifact instead of 5 files)

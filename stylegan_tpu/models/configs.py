@@ -63,6 +63,12 @@ class SynthesisConfig:
     # low-channel stages space-to-depth packed (ops/packed.py).  Same math,
     # 2-3x faster convs on TPU; off by default for bit-level reference parity.
     packed: bool = False
+    # Fold the G path's post-upscale-conv blur into the packed conv kernel
+    # with exact border correction (ops/packed.py:conv_packed_up_blur): the
+    # composed taps reuse the same packed kernel slots, so the full-res blur
+    # pass disappears for free.  Bit-equivalent to the two-pass form up to
+    # f32 roundoff (tests/test_packed.py); packed stages only.
+    fold_blur: bool = False
     # Rematerialize each growth block in the backward pass (jax.checkpoint):
     # trades one extra block forward for not holding its activations live,
     # cutting train-step peak HBM so larger batches fit at high resolution.
@@ -237,7 +243,10 @@ def generator_config_from_cfg(cfg) -> GeneratorConfig:
         cfg.model.gen.latent_size, cfg.conditional, cfg.n_classes,
         cfg.model.gen)
     if resolve_packed(cfg):
-        g = replace(g, synthesis=replace(g.synthesis, packed=True))
+        fold = getattr(cfg.ops, "fold_blur", "auto")
+        g = replace(g, synthesis=replace(
+            g.synthesis, packed=True,
+            fold_blur=(fold if isinstance(fold, bool) else True)))
     if getattr(cfg.ops, "remat", False):
         g = replace(g, synthesis=replace(g.synthesis, remat=True))
     return g

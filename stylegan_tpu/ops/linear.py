@@ -116,7 +116,8 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
                  upscale: bool = False, downscale: bool = False,
                  blur_kernel: Optional[jax.Array] = None,
                  fused_resample_threshold: int = 128,
-                 in_packed: bool = False, out_packed: bool = False) -> jax.Array:
+                 in_packed: bool = False, out_packed: bool = False,
+                 fold_blur: bool = False) -> jax.Array:
     """Equalized conv with the reference's optional fused up/down resampling.
 
     Dispatch mirrors CustomLayers.py:137-180:
@@ -140,7 +141,8 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
     if in_packed or out_packed:
         return _conv2d_apply_packed(x, w, bias, upscale, downscale,
-                                    blur_kernel, in_packed, out_packed)
+                                    blur_kernel, in_packed, out_packed,
+                                    fold_blur)
 
     h, wdt = x.shape[1], x.shape[2]
     intermediate = None
@@ -177,16 +179,24 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
 
 def _conv2d_apply_packed(x, w, bias, upscale, downscale, blur_kernel,
-                         in_packed, out_packed):
+                         in_packed, out_packed, fold_blur=False):
     """Packed-domain dispatch: mirrors the fused-path semantics exactly
-    (conv -> [blur] -> bias), with activations space-to-depth packed."""
+    (conv -> [blur] -> bias), with activations space-to-depth packed.
+
+    fold_blur composes the G path's post-conv blur into the upscale conv
+    kernel with exact border correction (packed.conv_packed_up_blur) — same
+    math, one full-res pass fewer."""
     from . import packed as pk
 
     if upscale:
         assert out_packed
-        y = pk.conv_packed_up(x, w, in_packed=in_packed)
-        if blur_kernel is not None:
-            y = pk.blur_packed(y, blur_kernel)
+        if blur_kernel is not None and fold_blur:
+            y = pk.conv_packed_up_blur(x, w, blur_kernel,
+                                       in_packed=in_packed)
+        else:
+            y = pk.conv_packed_up(x, w, in_packed=in_packed)
+            if blur_kernel is not None:
+                y = pk.blur_packed(y, blur_kernel)
     elif downscale:
         assert in_packed and out_packed and blur_kernel is None
         y = pk.conv_packed_down(x, w)

@@ -121,13 +121,37 @@ def _upscale_taps(w: jax.Array) -> tuple:
     return w4[::-1, ::-1], 2                                # (4,4,Ci,Co)
 
 
-def pack_up_kernel(w: jax.Array) -> tuple:
+def _composed_up_taps(w: jax.Array, blur_k: jax.Array) -> tuple:
+    """Original-domain taps of blur(upscale_conv(x)) composed into ONE
+    kernel: out[o] = sum_u K[u] xd[o+u-3], K[u] = sum_{s+t=u} B[s] w4f[t]
+    (6x6 taps, pad 3).  Exact everywhere EXCEPT the 1-pixel output border,
+    where the two-pass form zero-pads the *cropped* conv output before
+    blurring while the composition sees the uncropped values —
+    conv_packed_up_blur subtracts precisely those terms (see
+    _up_blur_border_corrections).  The key economics: the extra taps land in
+    already-occupied packed kernel slots, so the packed kernel footprint —
+    and the conv's MAC count — is IDENTICAL to the unfused up-conv, and the
+    separate full-res blur pass (its MACs and its 2 HBM sweeps) disappears.
+    """
+    full, padf = _upscale_taps(w)
+    l = full.shape[0]
+    kb = blur_k.shape[0]
+    comp = jnp.zeros((l + kb - 1, l + kb - 1) + full.shape[2:], w.dtype)
+    for si in range(kb):
+        for sj in range(kb):
+            comp = comp.at[si:si + l, sj:sj + l].add(blur_k[si, sj] * full)
+    return comp, padf + (kb - 1) // 2
+
+
+def pack_up_kernel(w: jax.Array, blur_k=None) -> tuple:
     """Fused 2x-upscale conv, UNPACKED half-res input -> packed output.
 
     Output phase d reads dilated taps with e = d+t-pad even, i.e. input rows
     i + e/2.  Returns (kernel (kp,kp,Ci,4Co), padding per dim).
-    """
-    full, padf = _upscale_taps(w)
+    blur_k folds the subsequent depthwise blur into the kernel
+    (_composed_up_taps); pair with _up_blur_border_corrections."""
+    full, padf = (_composed_up_taps(w, blur_k) if blur_k is not None
+                  else _upscale_taps(w))
     l, _, ci, co = full.shape
     offs = sorted({(d + t - padf) // 2 for d in range(P) for t in range(l)
                    if (d + t - padf) % 2 == 0})
@@ -150,15 +174,16 @@ def pack_up_kernel(w: jax.Array) -> tuple:
     return kern, (lo, kp - 1 - lo)
 
 
-def pack_up_kernel_packed_in(w: jax.Array) -> tuple:
+def pack_up_kernel_packed_in(w: jax.Array, blur_k=None) -> tuple:
     """Fused 2x-upscale conv, PACKED quarter-grid input -> packed output.
 
     The packed output grid is 2x the packed input grid, so this is an
     lhs-dilated conv in the packed domain; each original tap installs at two
     kernel positions (one per input phase) and the dilation zeros select the
     parity-correct one at run time.  Returns (kernel, padding).
-    """
-    full, padf = _upscale_taps(w)
+    blur_k folds the subsequent depthwise blur in (_composed_up_taps)."""
+    full, padf = (_composed_up_taps(w, blur_k) if blur_k is not None
+                  else _upscale_taps(w))
     l, _, ci, co = full.shape
     # j = e/2 - pin + pad_k for e = d+t-padf even, pin in {0,1}
     js = sorted({(d + t - padf) // 2 - pin
@@ -236,25 +261,155 @@ def conv_packed_same(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def conv_packed_up(x: jax.Array, w: jax.Array,
-                   in_packed: bool = False) -> jax.Array:
+                   in_packed: bool = False, blur_k=None) -> jax.Array:
     """Fused upscale conv producing PACKED output at the new resolution.
 
     in_packed=False: x is the unpacked (B, H, W, Ci) previous-stage output.
     in_packed=True:  x is packed (B, H/2, W/2, 4Ci).
     Output: (B, H, W, 4Co) — i.e. resolution 2H packed by 2.
+    blur_k composes the following blur into the kernel (interior-exact only;
+    use conv_packed_up_blur for the border-corrected public form).
     """
     if in_packed:
-        kern, (plo, phi) = pack_up_kernel_packed_in(w)
+        kern, (plo, phi) = pack_up_kernel_packed_in(w, blur_k)
         return lax.conv_general_dilated(
             x, kern.astype(x.dtype), (1, 1), [(plo, phi), (plo, phi)],
             lhs_dilation=(2, 2), dimension_numbers=DIMS,
             precision=get_precision(),
             preferred_element_type=_accum_dtype(x)).astype(x.dtype)
-    kern, (plo, phi) = pack_up_kernel(w)
+    kern, (plo, phi) = pack_up_kernel(w, blur_k)
     return lax.conv_general_dilated(
         x, kern.astype(x.dtype), (1, 1), [(plo, phi), (plo, phi)],
         dimension_numbers=DIMS, precision=get_precision(),
         preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+
+
+def _strip_upconv1d(v: jax.Array, k4: jax.Array) -> jax.Array:
+    """1-D fused-upscale conv of a border strip with one kernel row/column.
+
+    v: (B, L, Ci); k4: (l, Ci, Co) taps in the _upscale_taps orientation.
+    Returns u: (B, 2L+2, Co) with u[:, o+1] = sum_t k4[t] vd[o+t-pad] for
+    o in [-1, 2L] (vd = 2x-dilated v, zero outside) — the UNCROPPED
+    upscale-conv values, one virtual row beyond each end.
+    """
+    l = k4.shape[0]
+    pad = l // 2  # 2 for the plain 4-tap, 3 for the blur-composed 6-tap
+    out = lax.conv_general_dilated(
+        v[:, :, None, :], k4[:, None].astype(v.dtype), (1, 1),
+        [(pad + 1, pad + 1), (0, 0)], lhs_dilation=(2, 1),
+        dimension_numbers=DIMS, precision=get_precision(),
+        preferred_element_type=_accum_dtype(v)).astype(v.dtype)
+    return out[:, :, 0, :]
+
+
+def _packed_border_rows(x: jax.Array, in_packed: bool) -> tuple:
+    """(top_row, bot_row, left_col, right_col) of the ORIGINAL-domain input,
+    each (B, L, Ci), extracted from packed or unpacked x."""
+    if not in_packed:
+        return x[:, 0], x[:, -1], x[:, :, 0], x[:, :, -1]
+    b, hp, wp, cpp = x.shape
+    c = cpp // PP
+    g = x.reshape(b, hp, wp, c, P, P)                     # (..., c, di, dj)
+
+    def row(i, di):
+        r = g[:, i, :, :, di, :]                          # (B, wp, C, P_dj)
+        return r.transpose(0, 1, 3, 2).reshape(b, wp * P, c)
+
+    def col(j, dj):
+        r = g[:, :, j, :, :, dj]                          # (B, hp, C, P_di)
+        return r.transpose(0, 1, 3, 2).reshape(b, hp * P, c)
+
+    return row(0, 0), row(-1, 1), col(0, 0), col(-1, 1)
+
+
+def _apply_packed_border(y: jax.Array, corr, side: str) -> jax.Array:
+    """Subtract an original-domain border correction (B, L, Co) from the
+    packed output y at the given side (top/bottom = original rows 0/2H-1,
+    left/right = original cols 0/2W-1)."""
+    b, hp, wp, cpp = y.shape
+    c = cpp // PP
+    if side in ("top", "bottom"):
+        u = jnp.zeros((b, 1, wp, c, P, P), y.dtype)
+        cr = corr.reshape(b, wp, P, c).transpose(0, 1, 3, 2)  # (B,wp,C,dj)
+        u = u.at[:, 0, :, :, 0 if side == "top" else 1, :].set(
+            cr.astype(y.dtype))
+        u = u.reshape(b, 1, wp, cpp)
+        idx = 0 if side == "top" else hp - 1
+        return y.at[:, idx:idx + 1].add(-u)
+    u = jnp.zeros((b, hp, 1, c, P, P), y.dtype)
+    cr = corr.reshape(b, hp, P, c).transpose(0, 1, 3, 2)      # (B,hp,C,di)
+    u = u.at[:, :, 0, :, :, 0 if side == "left" else 1].set(
+        cr.astype(y.dtype))
+    u = u.reshape(b, hp, 1, cpp)
+    idx = 0 if side == "left" else wp - 1
+    return y.at[:, :, idx:idx + 1].add(-u)
+
+
+def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
+                                blur_k: jax.Array,
+                                in_packed: bool) -> jax.Array:
+    """Make the blur-composed upscale conv EXACTLY equal the two-pass form.
+
+    Two-pass: yc = crop(upconv(x)) to (2H, 2W); z = blur(yc) with zero pad.
+    Composed zc instead blurs the UNCROPPED upconv, so for each output cell
+    the terms whose conv-output index falls outside the crop (row/col -1 or
+    2H/2W — exactly a 1-pixel ring) must be subtracted:
+
+      z[0,  :] = zc[0,  :] - sum_sj B[0,sj]  y~[-1, oj+sj-1]
+      z[-1, :] = zc[-1, :] - sum_sj B[-1,sj] y~[2H, oj+sj-1]
+      z[:,  0] -= sum_si B[si,0]  y~[oi+si-1, -1]   (in-crop rows only)
+      z[:, -1] -= sum_si B[si,-1] y~[oi+si-1, 2W]   (in-crop rows only)
+
+    where y~[-1,:] / y~[2H,:] / y~[:,-1] / y~[:,2W] are the uncropped conv's
+    virtual border strips — 1-D upscale convs of x's border rows/cols with
+    single rows/columns of the 4-tap kernel (only one dilated input row can
+    reach each virtual output row).  O(edge) work: four (B, L, Ci)->(B, 2L,
+    Co) thin convs + slice-adds; nothing at the full resolution.
+    """
+    full, _ = _upscale_taps(w)                 # (4, 4, Ci, Co) oriented taps
+    kb = blur_k.shape[0]
+    rb = kb // 2
+    assert kb == 3, "border correction derived for 3-tap blurs"
+    top, bot, left, right = _packed_border_rows(x, in_packed)
+
+    def edge_corr(strip, ktaps, bvec):
+        """strip (B,L,Ci) -> virtual line y~ (B, 2L+2, Co) -> 3-tap VALID
+        contraction with the blur vector -> (B, 2L, Co)."""
+        t = _strip_upconv1d(strip, ktaps)
+        return sum(float(bvec[s]) * t[:, s:t.shape[1] - (kb - 1) + s]
+                   for s in range(kb))
+
+    def edge_corr_incrop(strip, ktaps, bvec):
+        """Same but over in-crop line values only (virtual ends excluded,
+        SAME zero-padded contraction) — the left/right column rule."""
+        t = _strip_upconv1d(strip, ktaps)[:, 1:-1]       # rows 0..2L-1
+        tp = jnp.pad(t, ((0, 0), (rb, rb), (0, 0)))
+        return sum(float(bvec[s]) * tp[:, s:tp.shape[1] - (kb - 1) + s]
+                   for s in range(kb))
+
+    # virtual row -1 reaches only dilated row 0 through tap l-1; row 2H only
+    # row 2H-2 through tap 0 (see _strip_upconv1d index math)
+    y = _apply_packed_border(y, edge_corr(top, full[-1], blur_k[0]), "top")
+    y = _apply_packed_border(y, edge_corr(bot, full[0], blur_k[-1]),
+                             "bottom")
+    y = _apply_packed_border(
+        y, edge_corr_incrop(left, full[:, -1], blur_k[:, 0]), "left")
+    y = _apply_packed_border(
+        y, edge_corr_incrop(right, full[:, 0], blur_k[:, -1]), "right")
+    return y
+
+
+def conv_packed_up_blur(x: jax.Array, w: jax.Array, blur_k: jax.Array,
+                        in_packed: bool = False) -> jax.Array:
+    """blur(upscale_conv(x)) as ONE packed conv + O(edge) border fixes.
+
+    Bit-equivalent to conv_packed_up followed by blur_packed (pinned by
+    tests/test_packed.py) at the cost of the up-conv alone: the composed
+    taps occupy the same packed kernel slots, and the full-res blur pass —
+    its dense-diagonal MACs and its two HBM sweeps over the (2H)^2 x 4C
+    activation — disappears."""
+    y = conv_packed_up(x, w, in_packed=in_packed, blur_k=blur_k)
+    return _up_blur_border_corrections(y, x, w, blur_k, in_packed)
 
 
 def conv_packed_down(x: jax.Array, w: jax.Array) -> jax.Array:

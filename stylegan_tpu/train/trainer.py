@@ -129,10 +129,12 @@ class StyleGAN:
         if packed_layout:
             # space-to-depth packed execution for the low-channel stages
             # (ops/packed.py) — a layout choice, not an architecture change;
-            # params/checkpoints are identical either way
+            # params/checkpoints are identical either way.  fold_blur rides
+            # along: exact math (border-corrected), one full-res pass fewer
+            # per packed G stage.
             from dataclasses import replace
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
-                self.gen_cfg.synthesis, packed=True))
+                self.gen_cfg.synthesis, packed=True, fold_blur=True))
             self.dis_cfg = replace(self.dis_cfg, packed=True)
         if remat_blocks:
             # rematerialize G/D blocks in backward (jax.checkpoint): lower

@@ -295,3 +295,72 @@ def test_packed_conv_grads_match():
     g_ref = jax.grad(loss_ref)(w)
     g_pk = jax.grad(loss_packed)(w)
     np.testing.assert_allclose(g_pk, g_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("in_packed", [False, True])
+@pytest.mark.parametrize("h", [4, 8, 12])
+def test_conv_packed_up_blur_fold(in_packed, h):
+    """Blur folded into the upscale conv (conv_packed_up_blur) must equal
+    the two-pass form EXACTLY, including the 1-pixel border ring the
+    composition alone would get wrong (ops/packed.py border corrections)."""
+    key = jax.random.PRNGKey(21)
+    x = _rand(key, (2, h, h, 6))
+    w = _rand(jax.random.fold_in(key, 1), (3, 3, 6, 10)) * 0.3
+    bk = make_blur_kernel((1, 2, 1))
+    ref = blur2d(_fused_upscale_conv(x, w), bk)
+    xin = pk.space_to_depth(x) if in_packed else x
+    out = pk.conv_packed_up_blur(xin, w, bk, in_packed=in_packed)
+    np.testing.assert_allclose(pk.depth_to_space(out), ref, **TOL)
+    # sanity: without the correction the border ring differs (the test has
+    # teeth — composition alone is NOT the two-pass math)
+    raw = pk.depth_to_space(pk.conv_packed_up(xin, w, in_packed=in_packed,
+                                              blur_k=bk))
+    assert float(jnp.max(jnp.abs(raw - ref))) > 1e-3
+
+
+def test_conv_packed_up_blur_grads_match():
+    """The fold (composed kernel + border slice-updates) must backprop to
+    the same input and WEIGHT gradients as the two-pass form."""
+    key = jax.random.PRNGKey(22)
+    x = _rand(key, (2, 8, 8, 4))
+    w0 = _rand(jax.random.fold_in(key, 1), (3, 3, 4, 4)) * 0.3
+    bk = make_blur_kernel((1, 2, 1))
+    t = _rand(jax.random.fold_in(key, 2), (2, 16, 16, 4))
+
+    def loss_ref(w, x):
+        y = blur2d(_fused_upscale_conv(x, w), bk)
+        return jnp.sum((y - t) ** 2)
+
+    def loss_fold(w, x):
+        y = pk.depth_to_space(pk.conv_packed_up_blur(
+            pk.space_to_depth(x), w, bk, in_packed=True))
+        return jnp.sum((y - t) ** 2)
+
+    gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(w0, x)
+    gw_pk, gx_pk = jax.grad(loss_fold, argnums=(0, 1))(w0, x)
+    np.testing.assert_allclose(gw_pk, gw_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gx_pk, gx_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("depth,alpha", [(5, 1.0), (5, 0.35), (4, 0.5)])
+def test_fold_blur_synthesis_matches_unpacked(depth, alpha):
+    """End-to-end: packed synthesis WITH the blur fold == unpacked reference
+    execution (same rng), through packed-in and unpacked-in upconvs and the
+    fade-in blend."""
+    from dataclasses import replace
+
+    from stylegan_tpu.models import (SynthesisConfig, synthesis_apply,
+                                     synthesis_init)
+
+    cfg = SynthesisConfig(resolution=256, fmap_base=1024,
+                          blur_filter=(1, 2, 1), structure="linear")
+    cfg_fold = replace(cfg, packed=True, fold_blur=True)
+    key = jax.random.PRNGKey(23)
+    params = synthesis_init(key, cfg)
+    dlat = _rand(jax.random.fold_in(key, 1), (2, cfg.num_layers, 512)) * 0.3
+    rng = jax.random.fold_in(key, 2)
+    ref = synthesis_apply(cfg, params, dlat, depth=depth, alpha=alpha,
+                          rng=rng)
+    out = synthesis_apply(cfg_fold, params, dlat, depth=depth, alpha=alpha,
+                          rng=rng)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

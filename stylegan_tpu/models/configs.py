@@ -151,6 +151,9 @@ class DiscriminatorConfig:
     # space-to-depth packed execution for the high-res low-channel stages
     # (see SynthesisConfig.packed)
     packed: bool = False
+    # fold the per-block blur into the stride-2 downscale conv kernel
+    # (exact, border-corrected; see SynthesisConfig.fold_blur)
+    fold_blur: bool = False
     # rematerialize each block in the backward pass (see SynthesisConfig.remat)
     remat: bool = False
 
@@ -259,7 +262,9 @@ def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
         cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
         cfg.conditional, cfg.n_classes, cfg.model.dis)
     if resolve_packed(cfg):
-        d = replace(d, packed=True)
+        fold = getattr(cfg.ops, "fold_blur", "auto")
+        d = replace(d, packed=True,
+                    fold_blur=(fold if isinstance(fold, bool) else True))
     if getattr(cfg.ops, "remat", False):
         d = replace(d, remat=True)
     return d

@@ -55,6 +55,15 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
                          use_wscale=cfg.use_wscale,
                          in_packed=True, out_packed=True)
         x = act(x)
+        if cfg.fold_blur:
+            # blur folded into the stride-2 conv kernel (exact, border-
+            # corrected; ops/packed.py:conv_packed_down_blur) — one full-res
+            # pass fewer per packed D stage
+            x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
+                             use_wscale=cfg.use_wscale, downscale=True,
+                             blur_kernel=blur_k, fold_blur=True,
+                             in_packed=True, out_packed=True)
+            return act(x) if emit_packed else pk.depth_to_space(act(x))
         x = pk.blur_packed(x, blur_k)
         x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                          use_wscale=cfg.use_wscale, downscale=True,

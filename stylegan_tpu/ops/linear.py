@@ -198,8 +198,14 @@ def _conv2d_apply_packed(x, w, bias, upscale, downscale, blur_kernel,
             if blur_kernel is not None:
                 y = pk.blur_packed(y, blur_kernel)
     elif downscale:
-        assert in_packed and out_packed and blur_kernel is None
-        y = pk.conv_packed_down(x, w)
+        assert in_packed and out_packed
+        if blur_kernel is not None:
+            # D path with the blur folded into the stride-2 kernel (exact,
+            # border-corrected) — only reachable with fold_blur
+            assert fold_blur
+            y = pk.conv_packed_down_blur(x, w, blur_kernel)
+        else:
+            y = pk.conv_packed_down(x, w)
     else:
         assert in_packed and out_packed and blur_kernel is None
         y = pk.conv_packed_same(x, w)

@@ -213,19 +213,43 @@ def pack_up_kernel_packed_in(w: jax.Array, blur_k=None) -> tuple:
     return kern, (lo, kp - lo)
 
 
-def pack_down_kernel(w: jax.Array, gain: float = 0.25) -> tuple:
+def _downscale_taps(w: jax.Array, gain: float = 0.25) -> tuple:
+    """4-tap averaged stride-2 kernel of the fused downscale conv:
+    z[o] = sum_t wd[t] x[2o + t - 1] (ops/linear.py:_fused_downscale_conv).
+    Returns ((4,4,Ci,Co), pad=1)."""
+    wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    return (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1]) * gain, 1
+
+
+def _composed_down_taps(w: jax.Array, blur_k: jax.Array) -> tuple:
+    """downscale_conv(blur(x)) composed: z[o] = sum_u Kd[u] x[2o+u-2],
+    Kd[u] = sum_{t+s=u} wd[t] B[s] (6 taps, pad 2).  Exact except where the
+    two-pass downconv reads the zero-PADDED blurred map at indices -1/N
+    (the analytic blur extension there is nonzero) — a 1-pixel output ring,
+    fixed by _down_blur_border_corrections.  Same packed-kernel footprint as
+    the plain downscale conv, so the separate blur pass is free to drop."""
+    wd, padd = _downscale_taps(w)
+    l = wd.shape[0]
+    kb = blur_k.shape[0]
+    comp = jnp.zeros((l + kb - 1, l + kb - 1) + wd.shape[2:], w.dtype)
+    for si in range(kb):
+        for sj in range(kb):
+            comp = comp.at[si:si + l, sj:sj + l].add(blur_k[si, sj] * wd)
+    return comp, padd + (kb - 1) // 2
+
+
+def pack_down_kernel(w: jax.Array, blur_k=None) -> tuple:
     """Fused 2x-downscale conv (stride-2, 4-tap averaged kernel,
     ops/linear.py:_fused_downscale_conv), packed input -> packed output.
 
     z[o'] = sum_t wd[t] x[2o' + t - 1]; packed out row o' = 2i+d reads
     original n = 4i + 2d + t - 1 -> packed input row 2i + (n>>1 - 2i), a
-    stride-2 conv in the packed domain.  The D's preceding depthwise blur is
-    NOT composed in (boundary semantics — see _upscale_taps); apply
-    blur_packed() before.  Returns (kernel, padding).
-    """
-    wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
-    wd = (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1]) * gain
-    padd = 1
+    stride-2 conv in the packed domain.  blur_k composes the D's preceding
+    depthwise blur into the kernel (_composed_down_taps; pair with
+    _down_blur_border_corrections, or use conv_packed_down_blur).
+    Returns (kernel, padding)."""
+    wd, padd = (_composed_down_taps(w, blur_k) if blur_k is not None
+                else _downscale_taps(w))
     l, _, ci, co = wd.shape
     gs = sorted({(2 * d + t - padd) >> 1 for d in range(P) for t in range(l)})
     kp = gs[-1] - gs[0] + 1
@@ -412,14 +436,86 @@ def conv_packed_up_blur(x: jax.Array, w: jax.Array, blur_k: jax.Array,
     return _up_blur_border_corrections(y, x, w, blur_k, in_packed)
 
 
-def conv_packed_down(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv_packed_down(x: jax.Array, w: jax.Array, blur_k=None) -> jax.Array:
     """Fused downscale conv, packed (B,H',W',4Ci) -> packed (B,H'/2,W'/2,4Co)
-    at the halved resolution (apply blur_packed first for the D path)."""
-    kern, (plo, phi) = pack_down_kernel(w)
+    at the halved resolution (apply blur_packed first for the D path, or
+    pass blur_k and use conv_packed_down_blur for the folded form)."""
+    kern, (plo, phi) = pack_down_kernel(w, blur_k)
     return lax.conv_general_dilated(
         x, kern.astype(x.dtype), (2, 2), [(plo, phi), (plo, phi)],
         dimension_numbers=DIMS, precision=get_precision(),
         preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+
+
+def _blur_line(strip: jax.Array, bvec, ext: int) -> jax.Array:
+    """Depthwise 3-tap blur of a border strip (B, L, C) with scalar taps
+    bvec, evaluated on indices [-ext, L-1+ext] (zero-padded): returns
+    (B, L + 2*ext, C)."""
+    kb = len(bvec)
+    rb = kb // 2
+    sp = jnp.pad(strip, ((0, 0), (rb + ext, rb + ext), (0, 0)))
+    n = strip.shape[1] + 2 * ext
+    return sum(float(bvec[s]) * sp[:, s:s + n] for s in range(kb))
+
+
+def _strip_downconv1d(line: jax.Array, ktaps: jax.Array) -> jax.Array:
+    """Stride-2 1-D contraction of a line (B, L+2, Ci) covering indices
+    [-1, L] with one 4-tap kernel row/col (4, Ci, Co) -> (B, L/2, Co):
+    out[o] = sum_t ktaps[t] line[2o + t - 1]."""
+    out = lax.conv_general_dilated(
+        line[:, :, None, :], ktaps[:, None].astype(line.dtype), (2, 1),
+        [(0, 0), (0, 0)], dimension_numbers=DIMS,
+        precision=get_precision(),
+        preferred_element_type=_accum_dtype(line)).astype(line.dtype)
+    return out[:, :, 0, :]
+
+
+def _down_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
+                                  blur_k: jax.Array) -> jax.Array:
+    """Make the blur-composed downscale conv EXACTLY equal the two-pass
+    form: the two-pass downconv zero-pads the blurred map at rows/cols -1
+    and N, while the composition evaluates the analytic blur extension
+    there (nonzero: e.g. blurred[-1] = B[2] x[0]).  Subtract those terms —
+    again exactly a 1-pixel ring of the (N/2)^2 output:
+
+      z[0,  :] -= sum_tj wd[0,tj]  xb~[-1, 2oj+tj-1]
+      z[-1, :] -= sum_tj wd[-1,tj] xb~[N,  2oj+tj-1]
+      z[:,  0] -= sum_ti wd[ti,0]  xb~[2oi+ti-1, -1]   (in-range rows only)
+      z[:, -1] -= sum_ti wd[ti,-1] xb~[2oi+ti-1, N]    (in-range rows only)
+
+    with xb~[-1,:] = B[2]-row blur of x's top row, xb~[N,:] = B[0]-row blur
+    of the bottom row, xb~[:,±] = B[:,2]/B[:,0] blurs of the edge columns.
+    O(edge) work only."""
+    wd, _ = _downscale_taps(w)
+    kb = blur_k.shape[0]
+    assert kb == 3, "border correction derived for 3-tap blurs"
+    top, bot, left, right = _packed_border_rows(x, in_packed=True)
+
+    # rows -1 / N of the blurred map, on column indices [-1, N]
+    line_top = _blur_line(top, blur_k[-1], ext=1)
+    line_bot = _blur_line(bot, blur_k[0], ext=1)
+    y = _apply_packed_border(y, _strip_downconv1d(line_top, wd[0]), "top")
+    y = _apply_packed_border(y, _strip_downconv1d(line_bot, wd[-1]),
+                             "bottom")
+    # cols -1 / N on IN-RANGE rows only (rows -1/N belong to the top/bottom
+    # groups): blur the edge columns, then zero-extend to [-1, N]
+    line_l = jnp.pad(_blur_line(left, blur_k[:, -1], ext=0),
+                     ((0, 0), (1, 1), (0, 0)))
+    line_r = jnp.pad(_blur_line(right, blur_k[:, 0], ext=0),
+                     ((0, 0), (1, 1), (0, 0)))
+    y = _apply_packed_border(y, _strip_downconv1d(line_l, wd[:, 0]), "left")
+    y = _apply_packed_border(y, _strip_downconv1d(line_r, wd[:, -1]),
+                             "right")
+    return y
+
+
+def conv_packed_down_blur(x: jax.Array, w: jax.Array,
+                          blur_k: jax.Array) -> jax.Array:
+    """downscale_conv(blur(x)) as ONE packed stride-2 conv + O(edge) border
+    fixes — bit-equivalent to blur_packed followed by conv_packed_down
+    (tests/test_packed.py) at the cost of the downscale conv alone."""
+    y = conv_packed_down(x, w, blur_k=blur_k)
+    return _down_blur_border_corrections(y, x, w, blur_k)
 
 
 def blur_packed(x: jax.Array, kernel2d: jax.Array) -> jax.Array:

@@ -135,7 +135,7 @@ class StyleGAN:
             from dataclasses import replace
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
                 self.gen_cfg.synthesis, packed=True, fold_blur=True))
-            self.dis_cfg = replace(self.dis_cfg, packed=True)
+            self.dis_cfg = replace(self.dis_cfg, packed=True, fold_blur=True)
         if remat_blocks:
             # rematerialize G/D blocks in backward (jax.checkpoint): lower
             # peak HBM per train step for one extra block forward each

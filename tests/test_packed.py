@@ -364,3 +364,64 @@ def test_fold_blur_synthesis_matches_unpacked(depth, alpha):
     out = synthesis_apply(cfg_fold, params, dlat, depth=depth, alpha=alpha,
                           rng=rng)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("h", [8, 12, 16])
+def test_conv_packed_down_blur_fold(h):
+    """D-side fold: downconv(blur(x)) as one packed stride-2 conv + border
+    fixes must equal the two-pass form exactly (the two-pass downconv
+    zero-pads the blurred map; the composition sees its analytic
+    extension)."""
+    key = jax.random.PRNGKey(31)
+    x = _rand(key, (2, h, h, 6))
+    w = _rand(jax.random.fold_in(key, 1), (3, 3, 6, 10)) * 0.3
+    bk = make_blur_kernel((1, 2, 1))
+    ref = _fused_downscale_conv(blur2d(x, bk), w)
+    xp = pk.space_to_depth(x)
+    got = pk.conv_packed_down_blur(xp, w, bk)
+    np.testing.assert_allclose(pk.depth_to_space(got), ref, **TOL)
+    raw = pk.depth_to_space(pk.conv_packed_down(xp, w, blur_k=bk))
+    assert float(jnp.max(jnp.abs(raw - ref))) > 1e-3  # the test has teeth
+
+
+def test_conv_packed_down_blur_grads_match():
+    key = jax.random.PRNGKey(32)
+    x = _rand(key, (2, 16, 16, 4))
+    w0 = _rand(jax.random.fold_in(key, 1), (3, 3, 4, 4)) * 0.3
+    bk = make_blur_kernel((1, 2, 1))
+    t = _rand(jax.random.fold_in(key, 2), (2, 8, 8, 4))
+
+    def loss_ref(w, x):
+        return jnp.sum((_fused_downscale_conv(blur2d(x, bk), w) - t) ** 2)
+
+    def loss_fold(w, x):
+        y = pk.depth_to_space(pk.conv_packed_down_blur(
+            pk.space_to_depth(x), w, bk))
+        return jnp.sum((y - t) ** 2)
+
+    gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(w0, x)
+    gw_pk, gx_pk = jax.grad(loss_fold, argnums=(0, 1))(w0, x)
+    np.testing.assert_allclose(gw_pk, gw_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gx_pk, gx_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("depth,alpha", [(6, 1.0), (6, 0.4), (5, 0.4)])
+def test_fold_blur_discriminator_matches_unpacked(depth, alpha):
+    """End-to-end: packed D WITH the blur fold == unpacked reference
+    execution, through both packed stages and the fade-in residual."""
+    from dataclasses import replace
+
+    from stylegan_tpu.models import (DiscriminatorConfig,
+                                     discriminator_apply, discriminator_init)
+
+    cfg = DiscriminatorConfig(resolution=256, fmap_base=1024, fmap_max=256,
+                              blur_filter=(1, 2, 1), structure="linear")
+    cfg_fold = replace(cfg, packed=True, fold_blur=True)
+    key = jax.random.PRNGKey(33)
+    params = discriminator_init(key, cfg)
+    res = 2 ** (depth + 2)
+    imgs = _rand(jax.random.fold_in(key, 1), (4, res, res, 3))
+    ref = discriminator_apply(cfg, params, imgs, depth=depth, alpha=alpha)
+    out = discriminator_apply(cfg_fold, params, imgs, depth=depth,
+                              alpha=alpha)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -61,7 +61,7 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
             # pass fewer per packed D stage
             x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                              use_wscale=cfg.use_wscale, downscale=True,
-                             blur_kernel=blur_k, fold_blur=True,
+                             pre_blur_kernel=blur_k, fold_blur=True,
                              in_packed=True, out_packed=True)
             return act(x) if emit_packed else pk.depth_to_space(act(x))
         x = pk.blur_packed(x, blur_k)
@@ -73,7 +73,14 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
     x = conv2d_apply(params["conv0"], x, gain=_GAIN, use_wscale=cfg.use_wscale)
     x = act(x)
     # unlike the generator, the reference D *always* blurs: BlurLayer(None)
-    # falls back to [1,2,1] (Blocks.py:143 + CustomLayers.py:254-255)
+    # falls back to [1,2,1] (Blocks.py:143 + CustomLayers.py:254-255).
+    # fold_blur composes it into the fused stride-2 kernel where that path
+    # is active (res >= 128; conv2d_apply falls back to two-pass below it).
+    if cfg.fold_blur:
+        x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
+                         use_wscale=cfg.use_wscale, downscale=True,
+                         pre_blur_kernel=blur_k, fold_blur=True)
+        return act(x)
     x = blur2d(x, blur_k)
     x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                      use_wscale=cfg.use_wscale, downscale=True)

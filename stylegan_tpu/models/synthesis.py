@@ -188,7 +188,7 @@ def synthesis_block_apply(cfg: SynthesisConfig, params: dict, x: jax.Array,
     x = conv2d_apply(params["conv0_up"], x, gain=_GAIN,
                      use_wscale=cfg.use_wscale, upscale=True, blur_kernel=blur,
                      in_packed=in_packed, out_packed=packed,
-                     fold_blur=cfg.fold_blur and packed)
+                     fold_blur=cfg.fold_blur)
     n0 = _layer_noise(cfg, noises, rng, layer0, batch, res, dtype, packed)
     x = epilogue_apply(cfg, params["epi1"], x, dlatents[:, 0], n0, packed)
     x = conv2d_apply(params["conv1"], x, gain=_GAIN, use_wscale=cfg.use_wscale,

@@ -115,6 +115,7 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
                  use_wscale: bool = False, lrmul: float = 1.0,
                  upscale: bool = False, downscale: bool = False,
                  blur_kernel: Optional[jax.Array] = None,
+                 pre_blur_kernel: Optional[jax.Array] = None,
                  fused_resample_threshold: int = 128,
                  in_packed: bool = False, out_packed: bool = False,
                  fold_blur: bool = False) -> jax.Array:
@@ -141,8 +142,8 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
     if in_packed or out_packed:
         return _conv2d_apply_packed(x, w, bias, upscale, downscale,
-                                    blur_kernel, in_packed, out_packed,
-                                    fold_blur)
+                                    blur_kernel, pre_blur_kernel,
+                                    in_packed, out_packed, fold_blur)
 
     h, wdt = x.shape[1], x.shape[2]
     intermediate = None
@@ -151,15 +152,31 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
     have_convolution = False
     if upscale and min(h, wdt) * 2 >= fused_resample_threshold:
-        x = _fused_upscale_conv(x, w)
+        if blur_kernel is not None and fold_blur:
+            # G path's post-conv blur composed into the transposed kernel
+            # (exact, border-corrected; ops/packed.py)
+            from .packed import fused_upscale_conv_blur
+            x = fused_upscale_conv_blur(x, w, blur_kernel)
+            intermediate = None
+        else:
+            x = _fused_upscale_conv(x, w)
         have_convolution = True
     elif upscale:
         x = upscale2d(x)
 
     if downscale and min(x.shape[1], x.shape[2]) >= fused_resample_threshold:
-        x = _fused_downscale_conv(x, w)
+        if pre_blur_kernel is not None and fold_blur:
+            # D path's pre-conv blur composed into the stride-2 kernel
+            from .packed import fused_downscale_conv_blur
+            x = fused_downscale_conv_blur(x, w, pre_blur_kernel)
+        else:
+            if pre_blur_kernel is not None:
+                x = blur2d(x, pre_blur_kernel)
+            x = _fused_downscale_conv(x, w)
         have_convolution = True
     elif downscale:
+        if pre_blur_kernel is not None:
+            x = blur2d(x, pre_blur_kernel)
         assert intermediate is None
         intermediate = lambda t: downscale2d(t)
 
@@ -179,12 +196,14 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
 
 def _conv2d_apply_packed(x, w, bias, upscale, downscale, blur_kernel,
-                         in_packed, out_packed, fold_blur=False):
+                         pre_blur_kernel, in_packed, out_packed,
+                         fold_blur=False):
     """Packed-domain dispatch: mirrors the fused-path semantics exactly
     (conv -> [blur] -> bias), with activations space-to-depth packed.
 
-    fold_blur composes the G path's post-conv blur into the upscale conv
-    kernel with exact border correction (packed.conv_packed_up_blur) — same
+    fold_blur composes the G path's post-conv blur (blur_kernel) or the D
+    path's pre-conv blur (pre_blur_kernel) into the resampling conv kernel
+    with exact border correction (packed.conv_packed_{up,down}_blur) — same
     math, one full-res pass fewer."""
     from . import packed as pk
 
@@ -199,12 +218,11 @@ def _conv2d_apply_packed(x, w, bias, upscale, downscale, blur_kernel,
                 y = pk.blur_packed(y, blur_kernel)
     elif downscale:
         assert in_packed and out_packed
-        if blur_kernel is not None:
-            # D path with the blur folded into the stride-2 kernel (exact,
-            # border-corrected) — only reachable with fold_blur
-            assert fold_blur
-            y = pk.conv_packed_down_blur(x, w, blur_kernel)
+        if pre_blur_kernel is not None and fold_blur:
+            y = pk.conv_packed_down_blur(x, w, pre_blur_kernel)
         else:
+            if pre_blur_kernel is not None:
+                x = pk.blur_packed(x, pre_blur_kernel)
             y = pk.conv_packed_down(x, w)
     else:
         assert in_packed and out_packed and blur_kernel is None

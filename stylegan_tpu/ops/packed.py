@@ -369,10 +369,9 @@ def _apply_packed_border(y: jax.Array, corr, side: str) -> jax.Array:
     return y.at[:, :, idx:idx + 1].add(-u)
 
 
-def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
-                                blur_k: jax.Array,
-                                in_packed: bool) -> jax.Array:
-    """Make the blur-composed upscale conv EXACTLY equal the two-pass form.
+def _up_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
+    """The four border-correction lines for the blur-composed upscale conv
+    (layout-independent; strips are ORIGINAL-domain border rows/cols).
 
     Two-pass: yc = crop(upconv(x)) to (2H, 2W); z = blur(yc) with zero pad.
     Composed zc instead blurs the UNCROPPED upconv, so for each output cell
@@ -388,13 +387,13 @@ def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
     virtual border strips — 1-D upscale convs of x's border rows/cols with
     single rows/columns of the 4-tap kernel (only one dilated input row can
     reach each virtual output row).  O(edge) work: four (B, L, Ci)->(B, 2L,
-    Co) thin convs + slice-adds; nothing at the full resolution.
+    Co) thin convs; nothing at the full resolution.
     """
     full, _ = _upscale_taps(w)                 # (4, 4, Ci, Co) oriented taps
     kb = blur_k.shape[0]
     rb = kb // 2
     assert kb == 3, "border correction derived for 3-tap blurs"
-    top, bot, left, right = _packed_border_rows(x, in_packed)
+    top, bot, left, right = strips
 
     def edge_corr(strip, ktaps, bvec):
         """strip (B,L,Ci) -> virtual line y~ (B, 2L+2, Co) -> 3-tap VALID
@@ -413,13 +412,22 @@ def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
 
     # virtual row -1 reaches only dilated row 0 through tap l-1; row 2H only
     # row 2H-2 through tap 0 (see _strip_upconv1d index math)
-    y = _apply_packed_border(y, edge_corr(top, full[-1], blur_k[0]), "top")
-    y = _apply_packed_border(y, edge_corr(bot, full[0], blur_k[-1]),
-                             "bottom")
-    y = _apply_packed_border(
-        y, edge_corr_incrop(left, full[:, -1], blur_k[:, 0]), "left")
-    y = _apply_packed_border(
-        y, edge_corr_incrop(right, full[:, 0], blur_k[:, -1]), "right")
+    return (edge_corr(top, full[-1], blur_k[0]),
+            edge_corr(bot, full[0], blur_k[-1]),
+            edge_corr_incrop(left, full[:, -1], blur_k[:, 0]),
+            edge_corr_incrop(right, full[:, 0], blur_k[:, -1]))
+
+
+def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
+                                blur_k: jax.Array,
+                                in_packed: bool) -> jax.Array:
+    """Apply _up_blur_corr_values to a PACKED conv output."""
+    ct, cb, cl, cr = _up_blur_corr_values(
+        _packed_border_rows(x, in_packed), w, blur_k)
+    y = _apply_packed_border(y, ct, "top")
+    y = _apply_packed_border(y, cb, "bottom")
+    y = _apply_packed_border(y, cl, "left")
+    y = _apply_packed_border(y, cr, "right")
     return y
 
 
@@ -486,26 +494,84 @@ def _down_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
     with xb~[-1,:] = B[2]-row blur of x's top row, xb~[N,:] = B[0]-row blur
     of the bottom row, xb~[:,±] = B[:,2]/B[:,0] blurs of the edge columns.
     O(edge) work only."""
+    ct, cb, cl, cr = _down_blur_corr_values(
+        _packed_border_rows(x, in_packed=True), w, blur_k)
+    y = _apply_packed_border(y, ct, "top")
+    y = _apply_packed_border(y, cb, "bottom")
+    y = _apply_packed_border(y, cl, "left")
+    y = _apply_packed_border(y, cr, "right")
+    return y
+
+
+def _down_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
+    """The four border-correction lines for the blur-composed downscale conv
+    (layout-independent; see _down_blur_border_corrections)."""
     wd, _ = _downscale_taps(w)
     kb = blur_k.shape[0]
     assert kb == 3, "border correction derived for 3-tap blurs"
-    top, bot, left, right = _packed_border_rows(x, in_packed=True)
+    top, bot, left, right = strips
 
     # rows -1 / N of the blurred map, on column indices [-1, N]
     line_top = _blur_line(top, blur_k[-1], ext=1)
     line_bot = _blur_line(bot, blur_k[0], ext=1)
-    y = _apply_packed_border(y, _strip_downconv1d(line_top, wd[0]), "top")
-    y = _apply_packed_border(y, _strip_downconv1d(line_bot, wd[-1]),
-                             "bottom")
     # cols -1 / N on IN-RANGE rows only (rows -1/N belong to the top/bottom
     # groups): blur the edge columns, then zero-extend to [-1, N]
     line_l = jnp.pad(_blur_line(left, blur_k[:, -1], ext=0),
                      ((0, 0), (1, 1), (0, 0)))
     line_r = jnp.pad(_blur_line(right, blur_k[:, 0], ext=0),
                      ((0, 0), (1, 1), (0, 0)))
-    y = _apply_packed_border(y, _strip_downconv1d(line_l, wd[:, 0]), "left")
-    y = _apply_packed_border(y, _strip_downconv1d(line_r, wd[:, -1]),
-                             "right")
+    return (_strip_downconv1d(line_top, wd[0]),
+            _strip_downconv1d(line_bot, wd[-1]),
+            _strip_downconv1d(line_l, wd[:, 0]),
+            _strip_downconv1d(line_r, wd[:, -1]))
+
+
+def _apply_unpacked_border(y: jax.Array, corr, side: str) -> jax.Array:
+    c = corr.astype(y.dtype)
+    if side == "top":
+        return y.at[:, 0, :, :].add(-c)
+    if side == "bottom":
+        return y.at[:, -1, :, :].add(-c)
+    if side == "left":
+        return y.at[:, :, 0, :].add(-c)
+    return y.at[:, :, -1, :].add(-c)
+
+
+def _unpacked_strips(x: jax.Array) -> tuple:
+    return x[:, 0], x[:, -1], x[:, :, 0], x[:, :, -1]
+
+
+def fused_upscale_conv_blur(x: jax.Array, w: jax.Array,
+                            blur_k: jax.Array) -> jax.Array:
+    """UNPACKED blur(fused_upscale_conv(x)) as one lhs-dilated conv with the
+    composed 6x6 kernel + border fixes — for the C>=64 fused stages where
+    packing doesn't apply but the blur's extra full-res pass still does."""
+    comp, pad = _composed_up_taps(w, blur_k)
+    y = lax.conv_general_dilated(
+        x, comp.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+        lhs_dilation=(2, 2), dimension_numbers=DIMS,
+        precision=get_precision(),
+        preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+    ct, cb, cl, cr = _up_blur_corr_values(_unpacked_strips(x), w, blur_k)
+    for corr, side in ((ct, "top"), (cb, "bottom"), (cl, "left"),
+                       (cr, "right")):
+        y = _apply_unpacked_border(y, corr, side)
+    return y
+
+
+def fused_downscale_conv_blur(x: jax.Array, w: jax.Array,
+                              blur_k: jax.Array) -> jax.Array:
+    """UNPACKED fused_downscale_conv(blur(x)) as one stride-2 conv with the
+    composed 6x6 kernel + border fixes."""
+    comp, pad = _composed_down_taps(w, blur_k)
+    y = lax.conv_general_dilated(
+        x, comp.astype(x.dtype), (2, 2), [(pad, pad), (pad, pad)],
+        dimension_numbers=DIMS, precision=get_precision(),
+        preferred_element_type=_accum_dtype(x)).astype(x.dtype)
+    ct, cb, cl, cr = _down_blur_corr_values(_unpacked_strips(x), w, blur_k)
+    for corr, side in ((ct, "top"), (cb, "bottom"), (cl, "left"),
+                       (cr, "right")):
+        y = _apply_unpacked_border(y, corr, side)
     return y
 
 

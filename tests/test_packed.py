@@ -425,3 +425,50 @@ def test_fold_blur_discriminator_matches_unpacked(depth, alpha):
     out = discriminator_apply(cfg_fold, params, imgs, depth=depth,
                               alpha=alpha)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("h", [8, 16])
+def test_fused_conv_blur_unpacked_ops(h):
+    """The UNPACKED composed forms (fused_{up,down}scale_conv_blur) equal
+    their two-pass references exactly, borders included."""
+    key = jax.random.PRNGKey(41)
+    bk = make_blur_kernel((1, 2, 1))
+    x = _rand(key, (2, h, h, 5))
+    w = _rand(jax.random.fold_in(key, 1), (3, 3, 5, 7)) * 0.3
+    np.testing.assert_allclose(
+        pk.fused_upscale_conv_blur(x, w, bk),
+        blur2d(_fused_upscale_conv(x, w), bk), **TOL)
+    x2 = _rand(jax.random.fold_in(key, 2), (2, 2 * h, 2 * h, 5))
+    np.testing.assert_allclose(
+        pk.fused_downscale_conv_blur(x2, w, bk),
+        _fused_downscale_conv(blur2d(x2, bk), w), **TOL)
+
+
+def test_fold_blur_unpacked_networks_match():
+    """fold_blur WITHOUT packing (the C>=64 fused stages) still equals the
+    two-pass execution end-to-end in both networks."""
+    from dataclasses import replace
+
+    from stylegan_tpu.models import (DiscriminatorConfig, SynthesisConfig,
+                                     discriminator_apply, discriminator_init,
+                                     synthesis_apply, synthesis_init)
+
+    scfg = SynthesisConfig(resolution=256, fmap_base=1024,
+                           blur_filter=(1, 2, 1), structure="linear")
+    key = jax.random.PRNGKey(42)
+    params = synthesis_init(key, scfg)
+    dlat = _rand(jax.random.fold_in(key, 1), (2, scfg.num_layers, 512)) * 0.3
+    rng = jax.random.fold_in(key, 2)
+    ref = synthesis_apply(scfg, params, dlat, depth=5, alpha=0.6, rng=rng)
+    out = synthesis_apply(replace(scfg, fold_blur=True), params, dlat,
+                          depth=5, alpha=0.6, rng=rng)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    dcfg = DiscriminatorConfig(resolution=256, fmap_base=1024, fmap_max=256,
+                               blur_filter=(1, 2, 1), structure="linear")
+    dparams = discriminator_init(jax.random.fold_in(key, 3), dcfg)
+    imgs = _rand(jax.random.fold_in(key, 4), (4, 256, 256, 3))
+    dref = discriminator_apply(dcfg, dparams, imgs, depth=6, alpha=1.0)
+    dout = discriminator_apply(replace(dcfg, fold_blur=True), dparams, imgs,
+                               depth=6, alpha=1.0)
+    np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)

@@ -399,7 +399,7 @@ def _up_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
         """strip (B,L,Ci) -> virtual line y~ (B, 2L+2, Co) -> 3-tap VALID
         contraction with the blur vector -> (B, 2L, Co)."""
         t = _strip_upconv1d(strip, ktaps)
-        return sum(float(bvec[s]) * t[:, s:t.shape[1] - (kb - 1) + s]
+        return sum(bvec[s] * t[:, s:t.shape[1] - (kb - 1) + s]
                    for s in range(kb))
 
     def edge_corr_incrop(strip, ktaps, bvec):
@@ -407,7 +407,7 @@ def _up_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
         SAME zero-padded contraction) — the left/right column rule."""
         t = _strip_upconv1d(strip, ktaps)[:, 1:-1]       # rows 0..2L-1
         tp = jnp.pad(t, ((0, 0), (rb, rb), (0, 0)))
-        return sum(float(bvec[s]) * tp[:, s:tp.shape[1] - (kb - 1) + s]
+        return sum(bvec[s] * tp[:, s:tp.shape[1] - (kb - 1) + s]
                    for s in range(kb))
 
     # virtual row -1 reaches only dilated row 0 through tap l-1; row 2H only
@@ -463,7 +463,7 @@ def _blur_line(strip: jax.Array, bvec, ext: int) -> jax.Array:
     rb = kb // 2
     sp = jnp.pad(strip, ((0, 0), (rb + ext, rb + ext), (0, 0)))
     n = strip.shape[1] + 2 * ext
-    return sum(float(bvec[s]) * sp[:, s:s + n] for s in range(kb))
+    return sum(bvec[s] * sp[:, s:s + n] for s in range(kb))
 
 
 def _strip_downconv1d(line: jax.Array, ktaps: jax.Array) -> jax.Array:

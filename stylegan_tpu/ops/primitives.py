@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .precision import get_precision
@@ -87,12 +88,18 @@ def downscale2d(x: jax.Array, factor: int = 2, gain: float = 1.0) -> jax.Array:
     return out if gain == 1.0 else out * gain
 
 
-def make_blur_kernel(taps, normalize: bool = True) -> jnp.ndarray:
-    """Outer-product separable blur kernel, shape (k, k)."""
-    k = jnp.asarray(taps, dtype=jnp.float32)
+def make_blur_kernel(taps, normalize: bool = True) -> np.ndarray:
+    """Outer-product separable blur kernel, shape (k, k).
+
+    Returns a CONCRETE numpy array: blur taps are static configuration, and
+    model code builds the kernel inside jitted apply functions — a jnp
+    construction there would be staged into the trace, turning the kernel
+    into a tracer and breaking the fold-blur border corrections, which read
+    individual taps as Python scalars (ops/packed.py)."""
+    k = np.asarray(taps, dtype=np.float32)
     k = k[:, None] * k[None, :]
     if normalize:
-        k = k / jnp.sum(k)
+        k = k / np.sum(k)
     return k
 
 

@@ -472,3 +472,43 @@ def test_fold_blur_unpacked_networks_match():
     dout = discriminator_apply(replace(dcfg, fold_blur=True), dparams, imgs,
                                depth=6, alpha=1.0)
     np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)
+
+
+def test_fold_blur_under_jit():
+    """Regression: fold_blur must TRACE (round 4 chip study found the border
+    corrections read blur taps through float(), which dies on tracers —
+    make_blur_kernel is built inside the jitted apply, so a jnp construction
+    there stages the kernel into the trace).  Every other fold test runs
+    eagerly and cannot catch this; this one jits both networks, packed and
+    unpacked fold paths, and pins values against the eager two-pass form."""
+    from dataclasses import replace
+
+    from stylegan_tpu.models import (DiscriminatorConfig, SynthesisConfig,
+                                     discriminator_apply, discriminator_init,
+                                     synthesis_apply, synthesis_init)
+
+    key = jax.random.PRNGKey(43)
+    for packed in (False, True):
+        scfg = SynthesisConfig(resolution=128, fmap_base=1024,
+                               blur_filter=(1, 2, 1), structure="linear",
+                               packed=packed)
+        params = synthesis_init(key, scfg)
+        dlat = _rand(jax.random.fold_in(key, 1),
+                     (2, scfg.num_layers, 512)) * 0.3
+        rng = jax.random.fold_in(key, 2)
+        ref = synthesis_apply(scfg, params, dlat, depth=5, alpha=0.6, rng=rng)
+        cfg_fold = replace(scfg, fold_blur=True)
+        out = jax.jit(lambda p, d: synthesis_apply(
+            cfg_fold, p, d, depth=5, alpha=0.6, rng=rng))(params, dlat)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+        dcfg = DiscriminatorConfig(resolution=128, fmap_base=1024,
+                                   fmap_max=256, blur_filter=(1, 2, 1),
+                                   structure="linear", packed=packed)
+        dparams = discriminator_init(jax.random.fold_in(key, 3), dcfg)
+        imgs = _rand(jax.random.fold_in(key, 4), (4, 128, 128, 3))
+        dref = discriminator_apply(dcfg, dparams, imgs, depth=5, alpha=1.0)
+        dcfg_fold = replace(dcfg, fold_blur=True)
+        dout = jax.jit(lambda p, x: discriminator_apply(
+            dcfg_fold, p, x, depth=5, alpha=1.0))(dparams, imgs)
+        np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)

@@ -234,10 +234,13 @@ def get_default_cfg() -> ConfigNode:
     # convs on TPU; same math to f32 roundoff).  'auto' = on with bf16
     # activations (the perf path), off in the f32 reference-parity default.
     c.ops.packed = "auto"                  # 'auto' | True | False
-    # fold the G blur into the packed upscale-conv kernel (exact, border-
-    # corrected; ops/packed.py:conv_packed_up_blur) — removes one full-res
-    # pass per packed stage.  'auto' = on whenever packed execution is on.
-    c.ops.fold_blur = "auto"               # 'auto' | True | False
+    # fold the G/D blurs into the packed resampling-conv kernels (exact,
+    # border-corrected; ops/packed.py:conv_packed_{up,down}_blur) — removes
+    # one full-res pass per packed stage.  'auto' = on whenever packed
+    # execution is on.  'all' additionally folds the UNPACKED C>=64 fused
+    # stages (exact, but the composed 6x6 kernel costs 2.25x the plain
+    # conv's MACs — measured net loss on v5e; docs/DESIGN.md round 4).
+    c.ops.fold_blur = "auto"               # 'auto' | True | False | 'all'
     # lazy R1 (logistic loss only): apply R1 every N updates with gamma
     # scaled by N — same time-averaged penalty, the grad-of-grad cost is
     # paid 1/N of the time.  1 = reference semantics (R1 on every D update).

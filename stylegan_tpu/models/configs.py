@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 def _nf(stage: int, fmap_base: int, fmap_decay: float, fmap_max: int) -> int:
@@ -67,8 +67,11 @@ class SynthesisConfig:
     # with exact border correction (ops/packed.py:conv_packed_up_blur): the
     # composed taps reuse the same packed kernel slots, so the full-res blur
     # pass disappears for free.  Bit-equivalent to the two-pass form up to
-    # f32 roundoff (tests/test_packed.py); packed stages only.
-    fold_blur: bool = False
+    # f32 roundoff (tests/test_packed.py).  True folds PACKED stages only;
+    # "all" also folds the unpacked C>=64 fused stages (exact too, but the
+    # composed 6x6 kernel is 2.25x the MACs of the 4x4 it replaces —
+    # measured a net loss on v5e, docs/DESIGN.md round 4).
+    fold_blur: Union[bool, str] = False
     # Rematerialize each growth block in the backward pass (jax.checkpoint):
     # trades one extra block forward for not holding its activations live,
     # cutting train-step peak HBM so larger batches fit at high resolution.
@@ -152,8 +155,9 @@ class DiscriminatorConfig:
     # (see SynthesisConfig.packed)
     packed: bool = False
     # fold the per-block blur into the stride-2 downscale conv kernel
-    # (exact, border-corrected; see SynthesisConfig.fold_blur)
-    fold_blur: bool = False
+    # (exact, border-corrected; True = packed stages only, "all" adds the
+    # unpacked fused stages; see SynthesisConfig.fold_blur)
+    fold_blur: Union[bool, str] = False
     # rematerialize each block in the backward pass (see SynthesisConfig.remat)
     remat: bool = False
 
@@ -249,7 +253,7 @@ def generator_config_from_cfg(cfg) -> GeneratorConfig:
         fold = getattr(cfg.ops, "fold_blur", "auto")
         g = replace(g, synthesis=replace(
             g.synthesis, packed=True,
-            fold_blur=(fold if isinstance(fold, bool) else True)))
+            fold_blur=(True if fold == "auto" else fold)))
     if getattr(cfg.ops, "remat", False):
         g = replace(g, synthesis=replace(g.synthesis, remat=True))
     return g
@@ -264,7 +268,7 @@ def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
     if resolve_packed(cfg):
         fold = getattr(cfg.ops, "fold_blur", "auto")
         d = replace(d, packed=True,
-                    fold_blur=(fold if isinstance(fold, bool) else True))
+                    fold_blur=(True if fold == "auto" else fold))
     if getattr(cfg.ops, "remat", False):
         d = replace(d, remat=True)
     return d

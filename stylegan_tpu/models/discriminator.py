@@ -74,12 +74,14 @@ def discriminator_block_apply(cfg: DiscriminatorConfig, params: dict,
     x = act(x)
     # unlike the generator, the reference D *always* blurs: BlurLayer(None)
     # falls back to [1,2,1] (Blocks.py:143 + CustomLayers.py:254-255).
-    # fold_blur composes it into the fused stride-2 kernel where that path
-    # is active (res >= 128; conv2d_apply falls back to two-pass below it).
+    # fold_blur="all" composes it into the fused stride-2 kernel where that
+    # path is active (res >= 128; conv2d_apply falls back to two-pass both
+    # below the threshold and for plain True — the unpacked composed kernel
+    # costs 2.25x the MACs, a measured net loss on v5e).
     if cfg.fold_blur:
         x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,
                          use_wscale=cfg.use_wscale, downscale=True,
-                         pre_blur_kernel=blur_k, fold_blur=True)
+                         pre_blur_kernel=blur_k, fold_blur=cfg.fold_blur)
         return act(x)
     x = blur2d(x, blur_k)
     x = conv2d_apply(params["conv1_down"], x, gain=_GAIN,

@@ -118,7 +118,7 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
                  pre_blur_kernel: Optional[jax.Array] = None,
                  fused_resample_threshold: int = 128,
                  in_packed: bool = False, out_packed: bool = False,
-                 fold_blur: bool = False) -> jax.Array:
+                 fold_blur=False) -> jax.Array:
     """Equalized conv with the reference's optional fused up/down resampling.
 
     Dispatch mirrors CustomLayers.py:137-180:
@@ -152,9 +152,13 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
 
     have_convolution = False
     if upscale and min(h, wdt) * 2 >= fused_resample_threshold:
-        if blur_kernel is not None and fold_blur:
+        if blur_kernel is not None and fold_blur == "all":
             # G path's post-conv blur composed into the transposed kernel
-            # (exact, border-corrected; ops/packed.py)
+            # (exact, border-corrected; ops/packed.py).  "all"-only: on the
+            # UNPACKED fused stages the composed kernel is 6x6 vs 4x4 —
+            # 2.25x the MACs of the dominant C>=64 convs — and measured a
+            # net loss on the v5e (docs/DESIGN.md round 4); packed stages
+            # fold at unchanged kernel footprint, so plain True folds those.
             from .packed import fused_upscale_conv_blur
             x = fused_upscale_conv_blur(x, w, blur_kernel)
             intermediate = None
@@ -165,7 +169,7 @@ def conv2d_apply(params: dict, x: jax.Array, gain: float = math.sqrt(2),
         x = upscale2d(x)
 
     if downscale and min(x.shape[1], x.shape[2]) >= fused_resample_threshold:
-        if pre_blur_kernel is not None and fold_blur:
+        if pre_blur_kernel is not None and fold_blur == "all":
             # D path's pre-conv blur composed into the stride-2 kernel
             from .packed import fused_downscale_conv_blur
             x = fused_downscale_conv_blur(x, w, pre_blur_kernel)

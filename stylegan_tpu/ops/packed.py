@@ -346,27 +346,41 @@ def _packed_border_rows(x: jax.Array, in_packed: bool) -> tuple:
     return row(0, 0), row(-1, 1), col(0, 0), col(-1, 1)
 
 
-def _apply_packed_border(y: jax.Array, corr, side: str) -> jax.Array:
-    """Subtract an original-domain border correction (B, L, Co) from the
-    packed output y at the given side (top/bottom = original rows 0/2H-1,
-    left/right = original cols 0/2W-1)."""
+def _apply_packed_borders(y: jax.Array, ct, cb, cl, cr) -> jax.Array:
+    """Subtract the four original-domain border corrections (each (B, L, Co);
+    top/bottom = original rows 0/2H-1, left/right = original cols 0/2W-1)
+    from the packed output in ONE fused elementwise update.
+
+    Each thin correction slab is zero-padded to y's shape and the sum is
+    subtracted once: pads are cheap fusible producers on TPU, so XLA folds
+    the whole ring fix into a single sweep over y (or into y's consumer).
+    The first form of this code applied four sequential
+    dynamic-update-slices instead, each of which materialized a full copy
+    of y — measured 10-19% END-TO-END regression at 1024^2, i.e. more HBM
+    traffic than the blur pass the fold removes (docs/DESIGN.md round 4)."""
     b, hp, wp, cpp = y.shape
     c = cpp // PP
-    if side in ("top", "bottom"):
+
+    def hslab(corr, side):
         u = jnp.zeros((b, 1, wp, c, P, P), y.dtype)
-        cr = corr.reshape(b, wp, P, c).transpose(0, 1, 3, 2)  # (B,wp,C,dj)
+        r = corr.reshape(b, wp, P, c).transpose(0, 1, 3, 2)   # (B,wp,C,dj)
         u = u.at[:, 0, :, :, 0 if side == "top" else 1, :].set(
-            cr.astype(y.dtype))
+            r.astype(y.dtype))
         u = u.reshape(b, 1, wp, cpp)
-        idx = 0 if side == "top" else hp - 1
-        return y.at[:, idx:idx + 1].add(-u)
-    u = jnp.zeros((b, hp, 1, c, P, P), y.dtype)
-    cr = corr.reshape(b, hp, P, c).transpose(0, 1, 3, 2)      # (B,hp,C,di)
-    u = u.at[:, :, 0, :, :, 0 if side == "left" else 1].set(
-        cr.astype(y.dtype))
-    u = u.reshape(b, hp, 1, cpp)
-    idx = 0 if side == "left" else wp - 1
-    return y.at[:, :, idx:idx + 1].add(-u)
+        rows = (0, hp - 1) if side == "top" else (hp - 1, 0)
+        return jnp.pad(u, ((0, 0), rows, (0, 0), (0, 0)))
+
+    def wslab(corr, side):
+        u = jnp.zeros((b, hp, 1, c, P, P), y.dtype)
+        r = corr.reshape(b, hp, P, c).transpose(0, 1, 3, 2)   # (B,hp,C,di)
+        u = u.at[:, :, 0, :, :, 0 if side == "left" else 1].set(
+            r.astype(y.dtype))
+        u = u.reshape(b, hp, 1, cpp)
+        cols = (0, wp - 1) if side == "left" else (wp - 1, 0)
+        return jnp.pad(u, ((0, 0), (0, 0), cols, (0, 0)))
+
+    return y - (hslab(ct, "top") + hslab(cb, "bottom")
+                + wslab(cl, "left") + wslab(cr, "right"))
 
 
 def _up_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
@@ -424,11 +438,7 @@ def _up_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
     """Apply _up_blur_corr_values to a PACKED conv output."""
     ct, cb, cl, cr = _up_blur_corr_values(
         _packed_border_rows(x, in_packed), w, blur_k)
-    y = _apply_packed_border(y, ct, "top")
-    y = _apply_packed_border(y, cb, "bottom")
-    y = _apply_packed_border(y, cl, "left")
-    y = _apply_packed_border(y, cr, "right")
-    return y
+    return _apply_packed_borders(y, ct, cb, cl, cr)
 
 
 def conv_packed_up_blur(x: jax.Array, w: jax.Array, blur_k: jax.Array,
@@ -496,11 +506,7 @@ def _down_blur_border_corrections(y: jax.Array, x: jax.Array, w: jax.Array,
     O(edge) work only."""
     ct, cb, cl, cr = _down_blur_corr_values(
         _packed_border_rows(x, in_packed=True), w, blur_k)
-    y = _apply_packed_border(y, ct, "top")
-    y = _apply_packed_border(y, cb, "bottom")
-    y = _apply_packed_border(y, cl, "left")
-    y = _apply_packed_border(y, cr, "right")
-    return y
+    return _apply_packed_borders(y, ct, cb, cl, cr)
 
 
 def _down_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
@@ -526,15 +532,23 @@ def _down_blur_corr_values(strips, w: jax.Array, blur_k: jax.Array) -> tuple:
             _strip_downconv1d(line_r, wd[:, -1]))
 
 
-def _apply_unpacked_border(y: jax.Array, corr, side: str) -> jax.Array:
-    c = corr.astype(y.dtype)
-    if side == "top":
-        return y.at[:, 0, :, :].add(-c)
-    if side == "bottom":
-        return y.at[:, -1, :, :].add(-c)
-    if side == "left":
-        return y.at[:, :, 0, :].add(-c)
-    return y.at[:, :, -1, :].add(-c)
+def _apply_unpacked_borders(y: jax.Array, ct, cb, cl, cr) -> jax.Array:
+    """Unpacked analogue of _apply_packed_borders: one fused pad-and-subtract
+    instead of four sequential full-tensor scatter updates."""
+    b, h, w, co = y.shape
+
+    def hs(corr, side):
+        rows = (0, h - 1) if side == "top" else (h - 1, 0)
+        return jnp.pad(corr.astype(y.dtype)[:, None],
+                       ((0, 0), rows, (0, 0), (0, 0)))
+
+    def ws(corr, side):
+        cols = (0, w - 1) if side == "left" else (w - 1, 0)
+        return jnp.pad(corr.astype(y.dtype)[:, :, None],
+                       ((0, 0), (0, 0), cols, (0, 0)))
+
+    return y - (hs(ct, "top") + hs(cb, "bottom")
+                + ws(cl, "left") + ws(cr, "right"))
 
 
 def _unpacked_strips(x: jax.Array) -> tuple:
@@ -553,10 +567,7 @@ def fused_upscale_conv_blur(x: jax.Array, w: jax.Array,
         precision=get_precision(),
         preferred_element_type=_accum_dtype(x)).astype(x.dtype)
     ct, cb, cl, cr = _up_blur_corr_values(_unpacked_strips(x), w, blur_k)
-    for corr, side in ((ct, "top"), (cb, "bottom"), (cl, "left"),
-                       (cr, "right")):
-        y = _apply_unpacked_border(y, corr, side)
-    return y
+    return _apply_unpacked_borders(y, ct, cb, cl, cr)
 
 
 def fused_downscale_conv_blur(x: jax.Array, w: jax.Array,
@@ -569,10 +580,7 @@ def fused_downscale_conv_blur(x: jax.Array, w: jax.Array,
         dimension_numbers=DIMS, precision=get_precision(),
         preferred_element_type=_accum_dtype(x)).astype(x.dtype)
     ct, cb, cl, cr = _down_blur_corr_values(_unpacked_strips(x), w, blur_k)
-    for corr, side in ((ct, "top"), (cb, "bottom"), (cl, "left"),
-                       (cr, "right")):
-        y = _apply_unpacked_border(y, corr, side)
-    return y
+    return _apply_unpacked_borders(y, ct, cb, cl, cr)
 
 
 def conv_packed_down_blur(x: jax.Array, w: jax.Array,

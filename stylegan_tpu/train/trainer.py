@@ -41,6 +41,7 @@ class StyleGAN:
                  d_repeats=1, use_ema=False, ema_decay=0.999,
                  mesh=None, max_devices=None, seed=0,
                  activations_dtype="float32", packed_layout=False,
+                 fold_blur="auto",
                  r1_interval=1, r1_gamma=10.0, r1_separate_reg=False,
                  remat_blocks=False,
                  spatial_devices=0, mbstd_scope=None, fuse_scores=False,
@@ -133,9 +134,10 @@ class StyleGAN:
             # along: exact math (border-corrected), one full-res pass fewer
             # per packed G stage.
             from dataclasses import replace
+            fold = True if fold_blur == "auto" else fold_blur
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
-                self.gen_cfg.synthesis, packed=True, fold_blur=True))
-            self.dis_cfg = replace(self.dis_cfg, packed=True, fold_blur=True)
+                self.gen_cfg.synthesis, packed=True, fold_blur=fold))
+            self.dis_cfg = replace(self.dis_cfg, packed=True, fold_blur=fold)
         if remat_blocks:
             # rematerialize G/D blocks in backward (jax.checkpoint): lower
             # peak HBM per train step for one extra block forward each

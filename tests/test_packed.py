@@ -445,8 +445,10 @@ def test_fused_conv_blur_unpacked_ops(h):
 
 
 def test_fold_blur_unpacked_networks_match():
-    """fold_blur WITHOUT packing (the C>=64 fused stages) still equals the
-    two-pass execution end-to-end in both networks."""
+    """fold_blur="all" (the C>=64 unpacked fused stages) still equals the
+    two-pass execution end-to-end in both networks.  ("all" is opt-in: the
+    composed 6x6 kernel costs 2.25x the plain conv's MACs and measured a
+    net loss on v5e — kept for exactness coverage and non-v5e hardware.)"""
     from dataclasses import replace
 
     from stylegan_tpu.models import (DiscriminatorConfig, SynthesisConfig,
@@ -460,7 +462,7 @@ def test_fold_blur_unpacked_networks_match():
     dlat = _rand(jax.random.fold_in(key, 1), (2, scfg.num_layers, 512)) * 0.3
     rng = jax.random.fold_in(key, 2)
     ref = synthesis_apply(scfg, params, dlat, depth=5, alpha=0.6, rng=rng)
-    out = synthesis_apply(replace(scfg, fold_blur=True), params, dlat,
+    out = synthesis_apply(replace(scfg, fold_blur="all"), params, dlat,
                           depth=5, alpha=0.6, rng=rng)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
@@ -469,7 +471,7 @@ def test_fold_blur_unpacked_networks_match():
     dparams = discriminator_init(jax.random.fold_in(key, 3), dcfg)
     imgs = _rand(jax.random.fold_in(key, 4), (4, 256, 256, 3))
     dref = discriminator_apply(dcfg, dparams, imgs, depth=6, alpha=1.0)
-    dout = discriminator_apply(replace(dcfg, fold_blur=True), dparams, imgs,
+    dout = discriminator_apply(replace(dcfg, fold_blur="all"), dparams, imgs,
                                depth=6, alpha=1.0)
     np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)
 
@@ -497,7 +499,7 @@ def test_fold_blur_under_jit():
                      (2, scfg.num_layers, 512)) * 0.3
         rng = jax.random.fold_in(key, 2)
         ref = synthesis_apply(scfg, params, dlat, depth=5, alpha=0.6, rng=rng)
-        cfg_fold = replace(scfg, fold_blur=True)
+        cfg_fold = replace(scfg, fold_blur=True if packed else "all")
         out = jax.jit(lambda p, d: synthesis_apply(
             cfg_fold, p, d, depth=5, alpha=0.6, rng=rng))(params, dlat)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
@@ -508,7 +510,7 @@ def test_fold_blur_under_jit():
         dparams = discriminator_init(jax.random.fold_in(key, 3), dcfg)
         imgs = _rand(jax.random.fold_in(key, 4), (4, 128, 128, 3))
         dref = discriminator_apply(dcfg, dparams, imgs, depth=5, alpha=1.0)
-        dcfg_fold = replace(dcfg, fold_blur=True)
+        dcfg_fold = replace(dcfg, fold_blur=True if packed else "all")
         dout = jax.jit(lambda p, x: discriminator_apply(
             dcfg_fold, p, x, depth=5, alpha=1.0))(dparams, imgs)
         np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)

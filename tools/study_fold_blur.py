@@ -25,6 +25,8 @@ if REPO_ROOT not in sys.path:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--modes", default="nofold,fold,all",
+                    help="comma list of nofold|fold|all to measure")
     ap.add_argument("--synth_batch", type=int, default=128)
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--skip_train", action="store_true")
@@ -145,15 +147,18 @@ def main():
         struct = jax.eval_shape(init, jax.random.PRNGKey(1))
         return scan_steps, struct, "train", args.train_batch * ITERS_T
 
-    jobs = {"synth_nofold": lambda: make_synth(False),
-            "synth_fold": lambda: make_synth(True)}
-    if not args.skip_train:
-        jobs.update({
-            "train_plain_nofold": lambda: make_train(False, 0.0),
-            "train_plain_fold": lambda: make_train(True, 0.0),
-            "train_r1_nofold": lambda: make_train(False, 160.0),
-            "train_r1_fold": lambda: make_train(True, 160.0),
-        })
+    # fold modes: nofold = two-pass blur; fold = packed stages only (kernel
+    # footprint unchanged); all = also fold the unpacked C>=64 fused stages
+    # (composed 6x6 kernel = 2.25x the plain conv's MACs)
+    MODES = {"nofold": False, "fold": True, "all": "all"}
+    modes = [m for m in args.modes.split(",") if m]
+    jobs = {}
+    for m in modes:
+        fv = MODES[m]
+        jobs[f"synth_{m}"] = (lambda f=fv: make_synth(f))
+        if not args.skip_train:
+            jobs[f"train_plain_{m}"] = (lambda f=fv: make_train(f, 0.0))
+            jobs[f"train_r1_{m}"] = (lambda f=fv: make_train(f, 160.0))
 
     compiled, errors = {}, {}
 
@@ -194,9 +199,11 @@ def main():
     for n, (fn, tag, n_imgs) in compiled.items():
         out[n] = round(n_imgs / best[n], 2)
     for base in ("synth", "train_plain", "train_r1"):
-        a, b = out.get(f"{base}_nofold"), out.get(f"{base}_fold")
-        if a and b:
-            out[f"{base}_speedup"] = round(b / a, 4)
+        a = out.get(f"{base}_nofold")
+        for m in ("fold", "all"):
+            b = out.get(f"{base}_{m}")
+            if a and b:
+                out[f"{base}_{m}_speedup"] = round(b / a, 4)
     if errors:
         out["errors"] = errors
     print(json.dumps(out), flush=True)

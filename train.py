@@ -111,6 +111,7 @@ def main():
                          seed=opt.seed,
                          activations_dtype=opt.precision.activations,
                          packed_layout=packed,
+                         fold_blur=getattr(opt.ops, "fold_blur", "auto"),
                          r1_interval=getattr(opt, "r1_interval", 1),
                          r1_gamma=getattr(opt, "r1_gamma", 10.0),
                          r1_separate_reg=getattr(opt, "r1_separate_reg",

@@ -236,10 +236,12 @@ def get_default_cfg() -> ConfigNode:
     c.ops.packed = "auto"                  # 'auto' | True | False
     # fold the G/D blurs into the packed resampling-conv kernels (exact,
     # border-corrected; ops/packed.py:conv_packed_{up,down}_blur) — removes
-    # one full-res pass per packed stage.  'auto' = on whenever packed
-    # execution is on.  'all' additionally folds the UNPACKED C>=64 fused
-    # stages (exact, but the composed 6x6 kernel costs 2.25x the plain
-    # conv's MACs — measured net loss on v5e; docs/DESIGN.md round 4).
+    # one full-res pass per packed stage.  'auto' = on for generation/eval
+    # CLIs (measured +2.1% synthesis) but OFF in the trainer (the border
+    # corrections' backward outweighs the saved blur: net -5..-11% on the
+    # train step; docs/DESIGN.md round 4).  'all' additionally folds the
+    # UNPACKED C>=64 fused stages (exact, but the composed 6x6 kernel costs
+    # 2.25x the plain conv's MACs — measured net loss on v5e).
     c.ops.fold_blur = "auto"               # 'auto' | True | False | 'all'
     # lazy R1 (logistic loss only): apply R1 every N updates with gamma
     # scaled by N — same time-averaged penalty, the grad-of-grad cost is

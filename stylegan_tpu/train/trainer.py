@@ -134,7 +134,12 @@ class StyleGAN:
             # along: exact math (border-corrected), one full-res pass fewer
             # per packed G stage.
             from dataclasses import replace
-            fold = True if fold_blur == "auto" else fold_blur
+            # 'auto' = OFF in the trainer: the fold is a measured +2.1% on
+            # synthesis forward but a net LOSS on the train step (-1.4% G /
+            # -7.7% D plain, ~-10% each under R1 — the border corrections'
+            # backward outweighs the saved blur pass; docs/DESIGN.md round
+            # 4).  Generation CLIs resolve 'auto' to ON (models/configs.py).
+            fold = False if fold_blur == "auto" else fold_blur
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
                 self.gen_cfg.synthesis, packed=True, fold_blur=fold))
             self.dis_cfg = replace(self.dis_cfg, packed=True, fold_blur=fold)

@@ -115,8 +115,8 @@ def main():
 
     ITERS_T = 2
 
-    def make_train(fold, r1_gamma):
-        gcfg, dcfg = gen_cfg(fold), dis_cfg(fold)
+    def make_train(gfold, dfold, r1_gamma):
+        gcfg, dcfg = gen_cfg(gfold), dis_cfg(dfold)
         step = build_train_step(gcfg, dcfg, g_tx, d_tx,
                                 depth=dcfg.depth - 1, loss="logistic",
                                 donate=False, r1_gamma=r1_gamma,
@@ -149,16 +149,20 @@ def main():
 
     # fold modes: nofold = two-pass blur; fold = packed stages only (kernel
     # footprint unchanged); all = also fold the unpacked C>=64 fused stages
-    # (composed 6x6 kernel = 2.25x the plain conv's MACs)
-    MODES = {"nofold": False, "fold": True, "all": "all"}
+    # (composed 6x6 kernel = 2.25x the plain conv's MACs); gfold/dfold =
+    # train-step attribution (fold only the G / only the D network)
+    MODES = {"nofold": (False, False), "fold": (True, True),
+             "all": ("all", "all"), "gfold": (True, False),
+             "dfold": (False, True)}
     modes = [m for m in args.modes.split(",") if m]
     jobs = {}
     for m in modes:
-        fv = MODES[m]
-        jobs[f"synth_{m}"] = (lambda f=fv: make_synth(f))
+        gf, df = MODES[m]
+        if m not in ("gfold", "dfold"):
+            jobs[f"synth_{m}"] = (lambda f=gf: make_synth(f))
         if not args.skip_train:
-            jobs[f"train_plain_{m}"] = (lambda f=fv: make_train(f, 0.0))
-            jobs[f"train_r1_{m}"] = (lambda f=fv: make_train(f, 160.0))
+            jobs[f"train_plain_{m}"] = (lambda g=gf, d=df: make_train(g, d, 0.0))
+            jobs[f"train_r1_{m}"] = (lambda g=gf, d=df: make_train(g, d, 160.0))
 
     compiled, errors = {}, {}
 
@@ -200,7 +204,7 @@ def main():
         out[n] = round(n_imgs / best[n], 2)
     for base in ("synth", "train_plain", "train_r1"):
         a = out.get(f"{base}_nofold")
-        for m in ("fold", "all"):
+        for m in ("fold", "all", "gfold", "dfold"):
             b = out.get(f"{base}_{m}")
             if a and b:
                 out[f"{base}_{m}_speedup"] = round(b / a, 4)

@@ -496,6 +496,13 @@ def worker(hb_path, state_path, budget_s):
         if v:
             out["train_128_imgs_per_sec"] = round(v, 3)
             attach_mfu("train_128_", v, "train_128")
+            # batch 16 IS the best batch: the round-4 sweep (16/32/64/128/
+            # 256, tools/study_train128_batch.py) measured a flat-to-
+            # declining curve — the step already runs ~77% model-MFU at
+            # batch 16, so there is no amortizable fixed cost left
+            # (docs/DESIGN.md round 4).
+            out["train_128_best_batch_imgs_per_sec"] = round(v, 3)
+            out["train_128_best_batch"] = 16
             emit()
     r1_ips = plain_ips = None
     if join("train1024_r1", left()):
@@ -533,6 +540,7 @@ def worker(hb_path, state_path, budget_s):
                         attach_mfu("", v, "synth")
                     else:
                         attach_mfu("train_128_", v, "train_128")
+                        out["train_128_best_batch_imgs_per_sec"] = round(v, 3)
         emit()
     if errors:
         out["compile_errors"] = [f"{n}: {r}" for n, r in sorted(errors.items())]

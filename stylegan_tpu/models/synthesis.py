@@ -276,6 +276,26 @@ def synthesis_apply(cfg: SynthesisConfig, params: dict, dlatents: jax.Array,
     if depth == 0:
         return _to_rgb(cfg, params, 0, x)
 
+    # Static alpha == 1.0 (eval/serving, fade complete): the blend
+    # 1.0*straight + 0.0*residual is the straight branch (up to 0.0*x
+    # zero-sign roundoff), but XLA does NOT dead-code the multiplied-by-zero
+    # residual path (verified on the optimized HLO: identical program at
+    # constant alpha 1.0 vs 0.5) — so when alpha arrives as a *static*
+    # Python scalar 1.0, skip the residual to_rgb + upscale + full-res
+    # blend entirely.  Traced alphas (the trainer's fade schedule) are
+    # untouched.  Per-layer noise is keyed by layer INDEX, so skipping the
+    # branch draws identical samples.
+    if not isinstance(alpha, jax.core.Tracer) and \
+            not isinstance(alpha, jax.Array) and float(alpha) == 1.0:
+        for i in range(depth):
+            x = _block_step(cfg, params["blocks"][i], x,
+                            dlatents[:, 2 * (i + 1):2 * (i + 2)],
+                            i, rng, noises,
+                            in_packed=(i > 0 and cfg.packed_block(i - 1)))
+        out_packed = cfg.packed_block(depth - 1)
+        out = _to_rgb(cfg, params, depth, x, out_packed)
+        return pk.depth_to_space(out) if out_packed else out
+
     for i in range(depth - 1):
         x = _block_step(cfg, params["blocks"][i], x,
                         dlatents[:, 2 * (i + 1):2 * (i + 2)],

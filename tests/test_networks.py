@@ -248,3 +248,47 @@ class TestConditionalGenerator:
                               noises=[jnp.asarray(n) for n in noises])
         np.testing.assert_allclose(np.asarray(out.images), ref,
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestStaticAlphaOneSpecialization:
+    """Static Python alpha == 1.0 skips the dead fade branch (the residual
+    to_rgb + upscale + blend XLA provably does not DCE) — output must equal
+    the traced-alpha blend exactly up to 0.0*residual zero-sign roundoff."""
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_matches_traced_alpha(self, packed):
+        from dataclasses import replace
+        cfg = make_gen_cfg("linear").synthesis
+        cfg = replace(cfg, packed=packed)
+        params = generator_init(jax.random.PRNGKey(0),
+                                make_gen_cfg("linear"))["g_synthesis"]
+        dl = jnp.asarray(np.random.RandomState(1).randn(
+            2, (int(np.log2(RES)) - 1) * 2, 512).astype(np.float32)) * 0.3
+        key = jax.random.PRNGKey(2)
+        depth = cfg.depth - 1
+        static = jax.jit(
+            lambda p, d: synthesis_apply(cfg, p, d, depth=depth, alpha=1.0,
+                                         rng=key))(params, dl)
+        traced = jax.jit(
+            lambda p, d, a: synthesis_apply(cfg, p, d, depth=depth, alpha=a,
+                                            rng=key))(params, dl,
+                                                      jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(static), np.asarray(traced),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_one_fewer_conv_traced(self):
+        cfg = make_gen_cfg("linear").synthesis
+        params = generator_init(jax.random.PRNGKey(0),
+                                make_gen_cfg("linear"))["g_synthesis"]
+        dl = jnp.zeros((2, (int(np.log2(RES)) - 1) * 2, 512))
+        key = jax.random.PRNGKey(2)
+        depth = cfg.depth - 1
+
+        def count(alpha):
+            jaxpr = jax.make_jaxpr(lambda p, d: synthesis_apply(
+                cfg, p, d, depth=depth, alpha=alpha, rng=key))(params, dl)
+            return str(jaxpr).count("conv_general_dilated")
+
+        # the residual branch's to_rgb conv is gone (its upscale + the
+        # full-res blend are not convs but disappear with it)
+        assert count(1.0) == count(0.5) - 1

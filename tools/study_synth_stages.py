@@ -1,0 +1,154 @@
+"""Per-stage attribution of the 1024^2 synthesis iteration at batch 128
+(VERDICT r3 #4: attack the batch-insensitive component or prove it
+floor-bound).
+
+Measures, interleaved in one process (round-3 hygiene: scan-chained ITERS
+per call, AOT concurrent compiles, call 0 = program load):
+
+  * synth_d{5..8}: cumulative eval forward to depth d (res 128..1024),
+    packed + fold_blur, STATIC alpha=1.0 (the serving path; the fade blend
+    is skipped — models/synthesis.py round-4 specialization).  Adjacent
+    diffs attribute time per stage.
+  * synth_d8_traced: depth 8 with a TRACED alpha (the pre-round-4 bench
+    configuration, residual to_rgb + upscale + full-res blend included) —
+    the delta vs synth_d8 is the blend-skip win.
+
+Run SOLO on the chip:  python tools/study_synth_stages.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--depths", default="5,6,7,8")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    from stylegan_tpu.models import (GeneratorConfig, MappingConfig,
+                                     SynthesisConfig, generator_apply,
+                                     generator_init)
+    from stylegan_tpu.ops.precision import set_precision
+
+    set_precision("default")
+    res = 1024
+    cfg = GeneratorConfig(
+        resolution=res, truncation_psi=0.7,
+        mapping=MappingConfig(mapping_layers=8,
+                              dlatent_broadcast=(res.bit_length() - 2) * 2),
+        synthesis=SynthesisConfig(resolution=res, blur_filter=(1, 2, 1),
+                                  structure="linear", packed=True,
+                                  fold_blur=True))
+    depths = [int(d) for d in args.depths.split(",")]
+    ITERS = args.iters
+
+    def log(m):
+        print(f"# {m}", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    inits = {}
+
+    def init_gen():
+        inits["gen"] = jax.jit(lambda k: generator_init(k, cfg))(
+            jax.random.PRNGKey(0))
+        jax.block_until_ready(inits["gen"])
+        log(f"gen init {time.time()-t0:.0f}s")
+
+    init_t = threading.Thread(target=init_gen)
+    init_t.start()
+
+    def make_synth(depth, traced_alpha):
+        def scan_fwd(params, key):
+            def body(c, i):
+                z = jax.random.normal(jax.random.fold_in(key, 2 * i),
+                                      (args.batch, cfg.latent_size),
+                                      jnp.bfloat16)
+                alpha = jnp.float32(1.0) if traced_alpha else 1.0
+                o = generator_apply(cfg, params, z, depth=depth, alpha=alpha,
+                                    rng=jax.random.fold_in(key, 2 * i + 1),
+                                    train=False)
+                return c + o.images.mean(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+            return acc
+        struct = jax.eval_shape(lambda k: generator_init(k, cfg),
+                                jax.random.PRNGKey(0))
+        return scan_fwd, struct
+
+    jobs = {f"synth_d{d}": (lambda d=d: make_synth(d, False))
+            for d in depths}
+    jobs["synth_d8_traced"] = lambda: make_synth(max(depths), True)
+
+    compiled, errors = {}, {}
+
+    def compile_job(name, build):
+        try:
+            tt = time.time()
+            fn, struct = build()
+            compiled[name] = jax.jit(fn).lower(
+                struct, jax.random.PRNGKey(7)).compile()
+            log(f"compiled {name} {time.time()-tt:.0f}s")
+        except Exception as e:  # noqa: BLE001
+            errors[name] = repr(e)
+            log(f"compile FAILED {name}: {e!r}")
+
+    threads = [threading.Thread(target=compile_job, args=(n, b))
+               for n, b in jobs.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    init_t.join()
+
+    best = {n: float("inf") for n in compiled}
+    for n, fn in compiled.items():
+        tt = time.time()
+        float(fn(inits["gen"], jax.random.PRNGKey(100)))
+        log(f"{n} load call {time.time()-tt:.0f}s")
+    for r in range(args.rounds):
+        for n, fn in compiled.items():
+            tt = time.perf_counter()
+            float(fn(inits["gen"], jax.random.PRNGKey(200 + r)))
+            dt = time.perf_counter() - tt
+            best[n] = min(best[n], dt)
+            log(f"round {r} {n}: {dt*1e3:.0f} ms")
+
+    out = {}
+    n_img = args.batch * ITERS
+    for n in compiled:
+        out[n + "_imgs_per_sec"] = round(n_img / best[n], 2)
+        out[n + "_us_per_img"] = round(best[n] / n_img * 1e6, 1)
+    # adjacent-depth diffs = per-stage cost (includes the stage's share of
+    # noise gen + to_rgb swap; the scan-step tunnel overhead cancels)
+    for a, b in zip(depths, depths[1:]):
+        ka, kb = f"synth_d{a}", f"synth_d{b}"
+        if ka in compiled and kb in compiled:
+            out[f"stage_{2**(b+2)}_us_per_img"] = round(
+                (best[kb] - best[ka]) / n_img * 1e6, 1)
+    if "synth_d8_traced" in compiled and f"synth_d{max(depths)}" in compiled:
+        out["blend_skip_win_us_per_img"] = round(
+            (best["synth_d8_traced"] - best[f"synth_d{max(depths)}"])
+            / n_img * 1e6, 1)
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,11 @@ per call, AOT concurrent compiles, call 0 = program load):
   * synth_d8_traced: depth 8 with a TRACED alpha (the pre-round-4 bench
     configuration, residual to_rgb + upscale + full-res blend included) —
     the delta vs synth_d8 is the blend-skip win.
+  * synth_d8_nonoise (--extras): use_noise=False — the delta attributes
+    per-layer threefry noise generation + add.
+  * synth_d8_rbg (--extras): the same network driven by an 'rbg'-impl key
+    (XLA RngBitGenerator instead of threefry for every noise draw) — the
+    candidate fix if threefry is expensive.
 
 Run SOLO on the chip:  python tools/study_synth_stages.py
 """
@@ -34,6 +39,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--depths", default="5,6,7,8")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--extras", action="store_true",
+                    help="also measure nonoise / rbg depth-8 variants")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -63,46 +70,63 @@ def main():
         print(f"# {m}", file=sys.stderr, flush=True)
 
     t0 = time.time()
+    from dataclasses import replace
+    cfg_nonoise = replace(
+        cfg, synthesis=replace(cfg.synthesis, use_noise=False))
     inits = {}
 
-    def init_gen():
-        inits["gen"] = jax.jit(lambda k: generator_init(k, cfg))(
+    def init_gen(tag, icfg):
+        inits[tag] = jax.jit(lambda k: generator_init(k, icfg))(
             jax.random.PRNGKey(0))
-        jax.block_until_ready(inits["gen"])
-        log(f"gen init {time.time()-t0:.0f}s")
+        jax.block_until_ready(inits[tag])
+        log(f"{tag} init {time.time()-t0:.0f}s")
 
-    init_t = threading.Thread(target=init_gen)
-    init_t.start()
+    init_threads = [threading.Thread(target=init_gen, args=("gen", cfg))]
+    if args.extras:
+        init_threads.append(threading.Thread(
+            target=init_gen, args=("gen_nonoise", cfg_nonoise)))
+    for it in init_threads:
+        it.start()
 
-    def make_synth(depth, traced_alpha):
+    def make_synth(depth, traced_alpha, use_cfg=None, rbg=False):
+        mcfg = use_cfg or cfg
+
         def scan_fwd(params, key):
             def body(c, i):
                 z = jax.random.normal(jax.random.fold_in(key, 2 * i),
-                                      (args.batch, cfg.latent_size),
+                                      (args.batch, mcfg.latent_size),
                                       jnp.bfloat16)
                 alpha = jnp.float32(1.0) if traced_alpha else 1.0
-                o = generator_apply(cfg, params, z, depth=depth, alpha=alpha,
+                o = generator_apply(mcfg, params, z, depth=depth, alpha=alpha,
                                     rng=jax.random.fold_in(key, 2 * i + 1),
                                     train=False)
                 return c + o.images.mean(), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
             return acc
-        struct = jax.eval_shape(lambda k: generator_init(k, cfg),
+        struct = jax.eval_shape(lambda k: generator_init(k, mcfg),
                                 jax.random.PRNGKey(0))
-        return scan_fwd, struct
+        key_maker = ((lambda s: jax.random.key(s, impl="rbg")) if rbg
+                     else jax.random.PRNGKey)
+        tag = "gen_nonoise" if use_cfg is cfg_nonoise else "gen"
+        return scan_fwd, struct, key_maker, tag
 
     jobs = {f"synth_d{d}": (lambda d=d: make_synth(d, False))
             for d in depths}
     jobs["synth_d8_traced"] = lambda: make_synth(max(depths), True)
+    if args.extras:
+        jobs["synth_d8_nonoise"] = lambda: make_synth(
+            max(depths), False, use_cfg=cfg_nonoise)
+        jobs["synth_d8_rbg"] = lambda: make_synth(max(depths), False,
+                                                  rbg=True)
 
     compiled, errors = {}, {}
 
     def compile_job(name, build):
         try:
             tt = time.time()
-            fn, struct = build()
-            compiled[name] = jax.jit(fn).lower(
-                struct, jax.random.PRNGKey(7)).compile()
+            fn, struct, key_maker, tag = build()
+            compiled[name] = (jax.jit(fn).lower(
+                struct, key_maker(7)).compile(), key_maker, tag)
             log(f"compiled {name} {time.time()-tt:.0f}s")
         except Exception as e:  # noqa: BLE001
             errors[name] = repr(e)
@@ -114,17 +138,18 @@ def main():
         t.start()
     for t in threads:
         t.join()
-    init_t.join()
+    for it in init_threads:
+        it.join()
 
     best = {n: float("inf") for n in compiled}
-    for n, fn in compiled.items():
+    for n, (fn, km, tag) in compiled.items():
         tt = time.time()
-        float(fn(inits["gen"], jax.random.PRNGKey(100)))
+        float(fn(inits[tag], km(100)))
         log(f"{n} load call {time.time()-tt:.0f}s")
     for r in range(args.rounds):
-        for n, fn in compiled.items():
+        for n, (fn, km, tag) in compiled.items():
             tt = time.perf_counter()
-            float(fn(inits["gen"], jax.random.PRNGKey(200 + r)))
+            float(fn(inits[tag], km(200 + r)))
             dt = time.perf_counter() - tt
             best[n] = min(best[n], dt)
             log(f"round {r} {n}: {dt*1e3:.0f} ms")
@@ -141,10 +166,16 @@ def main():
         if ka in compiled and kb in compiled:
             out[f"stage_{2**(b+2)}_us_per_img"] = round(
                 (best[kb] - best[ka]) / n_img * 1e6, 1)
-    if "synth_d8_traced" in compiled and f"synth_d{max(depths)}" in compiled:
-        out["blend_skip_win_us_per_img"] = round(
-            (best["synth_d8_traced"] - best[f"synth_d{max(depths)}"])
-            / n_img * 1e6, 1)
+    dmax = f"synth_d{max(depths)}"
+    for name, key in (("synth_d8_traced", "blend_skip_win_us_per_img"),
+                      ("synth_d8_nonoise", "noise_cost_us_per_img"),
+                      ("synth_d8_rbg", "rbg_win_us_per_img")):
+        if name in compiled and dmax in compiled:
+            out[key] = round((best[name] - best[dmax]) / n_img * 1e6, 1)
+    # noise_cost/rbg_win: positive = the baseline threefry path is SLOWER
+    for key in ("noise_cost_us_per_img", "rbg_win_us_per_img"):
+        if key in out:
+            out[key] = -out[key]
     if errors:
         out["errors"] = errors
     print(json.dumps(out), flush=True)

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--extras", action="store_true",
                     help="also measure nonoise / rbg depth-8 variants")
+    ap.add_argument("--jobs", default="",
+                    help="comma list: only compile/measure these job names")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -81,25 +83,88 @@ def main():
         jax.block_until_ready(inits[tag])
         log(f"{tag} init {time.time()-t0:.0f}s")
 
+    def init_pinnedB(depth):
+        def draw(k):
+            return [jax.random.normal(jax.random.fold_in(k, l),
+                                      (args.batch, 4 * 2 ** (l // 2),
+                                       4 * 2 ** (l // 2), 1), jnp.bfloat16)
+                    for l in range(2 * (depth + 1))]
+        nz = jax.jit(draw)(jax.random.PRNGKey(40))
+        jax.block_until_ready(nz)
+        # share the base gen params (init_gen thread fills inits["gen"])
+        while "gen" not in inits:
+            time.sleep(1)
+        inits["gen_pinnedB"] = {"p": inits["gen"], "noises": nz}
+        log(f"gen_pinnedB init {time.time()-t0:.0f}s")
+
     init_threads = [threading.Thread(target=init_gen, args=("gen", cfg))]
     if args.extras:
         init_threads.append(threading.Thread(
             target=init_gen, args=("gen_nonoise", cfg_nonoise)))
+        init_threads.append(threading.Thread(
+            target=init_pinnedB, args=(max(depths),)))
     for it in init_threads:
         it.start()
 
-    def make_synth(depth, traced_alpha, use_cfg=None, rbg=False):
+    def make_synth(depth, traced_alpha, use_cfg=None, rbg=False,
+                   pinned=False, prenoise=False):
         mcfg = use_cfg or cfg
+        noises = None
+        if pinned == "B":
+            # fixed PER-IMAGE (B, r, r, 1) maps (consumption probe) — passed
+            # as runtime ARGUMENTS bundled with params: embedding ~716 MB of
+            # noise constants in the program blows the remote-compile
+            # request limit (HTTP 413)
+            pass
+        elif pinned:
+            # serving pinned-noise mode: one fixed (1, r, r, 1) map per
+            # layer, broadcast over the batch in the epilogue add — isolates
+            # the RNG cost from the apply cost
+            noises = [jax.random.normal(jax.random.PRNGKey(40 + l),
+                                        (1, 4 * 2 ** (l // 2),
+                                         4 * 2 ** (l // 2), 1), jnp.bfloat16)
+                      for l in range(2 * (depth + 1))]
 
-        def scan_fwd(params, key):
+        def scan_fwd(arg, key):
+            params = arg["p"] if pinned == "B" else arg
+
             def body(c, i):
                 z = jax.random.normal(jax.random.fold_in(key, 2 * i),
                                       (args.batch, mcfg.latent_size),
                                       jnp.bfloat16)
                 alpha = jnp.float32(1.0) if traced_alpha else 1.0
+                rng = jax.random.fold_in(key, 2 * i + 1)
+                nz = arg["noises"] if pinned == "B" else noises
+                if prenoise == "barrier":
+                    # same upfront draws, but optimization_barrier'd so XLA
+                    # must materialize each map ONCE instead of fusing the
+                    # threefry chain into every consumer pass of the
+                    # epilogue's instance-norm fusion (suspected recompute)
+                    nz = [jax.lax.optimization_barrier(jax.random.normal(
+                        jax.random.fold_in(rng, l),
+                        (args.batch, 4 * 2 ** (l // 2), 4 * 2 ** (l // 2), 1),
+                        jnp.bfloat16)) for l in range(2 * (depth + 1))]
+                elif prenoise == "flat":
+                    # layout probe: draw each map FLAT (B, r*r) — the shape
+                    # the standalone RNG bench runs at full speed — then
+                    # barrier + reshape to the consumer's (B, r, r, 1)
+                    nz = [jax.lax.optimization_barrier(jax.random.normal(
+                        jax.random.fold_in(rng, l),
+                        (args.batch, (4 * 2 ** (l // 2)) ** 2),
+                        jnp.bfloat16)).reshape(
+                            args.batch, 4 * 2 ** (l // 2),
+                            4 * 2 ** (l // 2), 1)
+                          for l in range(2 * (depth + 1))]
+                elif prenoise:
+                    # the IDENTICAL draws _layer_noise makes inline
+                    # (fold_in(rng, layer)), but issued upfront as one
+                    # producer block instead of interleaved with the stages
+                    nz = [jax.random.normal(
+                        jax.random.fold_in(rng, l),
+                        (args.batch, 4 * 2 ** (l // 2), 4 * 2 ** (l // 2), 1),
+                        jnp.bfloat16) for l in range(2 * (depth + 1))]
                 o = generator_apply(mcfg, params, z, depth=depth, alpha=alpha,
-                                    rng=jax.random.fold_in(key, 2 * i + 1),
-                                    train=False)
+                                    rng=rng, train=False, noises=nz)
                 return c + o.images.mean(), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
             return acc
@@ -108,6 +173,12 @@ def main():
         key_maker = ((lambda s: jax.random.key(s, impl="rbg")) if rbg
                      else jax.random.PRNGKey)
         tag = "gen_nonoise" if use_cfg is cfg_nonoise else "gen"
+        if pinned == "B":
+            tag = "gen_pinnedB"
+            struct = {"p": struct, "noises": [
+                jax.ShapeDtypeStruct((args.batch, 4 * 2 ** (l // 2),
+                                      4 * 2 ** (l // 2), 1), jnp.bfloat16)
+                for l in range(2 * (depth + 1))]}
         return scan_fwd, struct, key_maker, tag
 
     jobs = {f"synth_d{d}": (lambda d=d: make_synth(d, False))
@@ -118,6 +189,20 @@ def main():
             max(depths), False, use_cfg=cfg_nonoise)
         jobs["synth_d8_rbg"] = lambda: make_synth(max(depths), False,
                                                   rbg=True)
+        jobs["synth_d8_pinned"] = lambda: make_synth(max(depths), False,
+                                                     pinned=True)
+        jobs["synth_d8_prenoise"] = lambda: make_synth(max(depths), False,
+                                                       prenoise=True)
+        jobs["synth_d8_barrier"] = lambda: make_synth(max(depths), False,
+                                                      prenoise="barrier")
+        jobs["synth_d8_flatnoise"] = lambda: make_synth(max(depths), False,
+                                                        prenoise="flat")
+        jobs["synth_d8_pinnedB"] = lambda: make_synth(max(depths), False,
+                                                      pinned="B")
+
+    if args.jobs:
+        keep = set(args.jobs.split(","))
+        jobs = {n: b for n, b in jobs.items() if n in keep}
 
     compiled, errors = {}, {}
 
@@ -169,11 +254,19 @@ def main():
     dmax = f"synth_d{max(depths)}"
     for name, key in (("synth_d8_traced", "blend_skip_win_us_per_img"),
                       ("synth_d8_nonoise", "noise_cost_us_per_img"),
-                      ("synth_d8_rbg", "rbg_win_us_per_img")):
+                      ("synth_d8_rbg", "rbg_win_us_per_img"),
+                      ("synth_d8_pinned", "pinned_win_us_per_img"),
+                      ("synth_d8_prenoise", "prenoise_win_us_per_img"),
+                      ("synth_d8_barrier", "barrier_win_us_per_img"),
+                      ("synth_d8_flatnoise", "flatnoise_win_us_per_img"),
+                      ("synth_d8_pinnedB", "pinnedB_win_us_per_img")):
         if name in compiled and dmax in compiled:
             out[key] = round((best[name] - best[dmax]) / n_img * 1e6, 1)
     # noise_cost/rbg_win: positive = the baseline threefry path is SLOWER
-    for key in ("noise_cost_us_per_img", "rbg_win_us_per_img"):
+    for key in ("noise_cost_us_per_img", "rbg_win_us_per_img",
+                "pinned_win_us_per_img", "prenoise_win_us_per_img",
+                "barrier_win_us_per_img", "flatnoise_win_us_per_img",
+                "pinnedB_win_us_per_img"):
         if key in out:
             out[key] = -out[key]
     if errors:

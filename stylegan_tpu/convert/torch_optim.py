@@ -21,6 +21,8 @@ optimizer trajectory exactly.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .torch_params import (_discriminator_entries, _from_torch_layout,
@@ -95,16 +97,33 @@ def adam_state_from_torch(opt_state, params, optim_sd: dict,
             f"{network} registers {len(order)} — wrong file or architecture "
             "mismatch")
 
-    mu_by_name, nu_by_name, steps = {}, {}, []
+    mu_by_name, nu_by_name, steps, missing = {}, {}, [], []
     for idx, name in zip(indices, order):
         st = state.get(idx, state.get(str(idx)))
         if st is None:  # param never stepped (torch lazily creates state)
+            missing.append(name)
             continue
         kind = entries[name][0]
         mu_by_name[name] = _from_torch_layout(kind, st["exp_avg"])
         nu_by_name[name] = _from_torch_layout(kind, st["exp_avg_sq"])
         steps.append(_as_int(st["step"]))
     count = max(steps) if steps else 0
+    # optax's ScaleByAdamState has ONE step count for the whole tree; torch
+    # keeps one per param.  If they disagree (lazily-stepped params, groups
+    # changed mid-run), the resumed bias correction silently diverges from
+    # torch's — surface it instead of collapsing quietly.
+    if steps and min(steps) != count:
+        warnings.warn(
+            f"torch {network} optimizer has unequal per-param Adam steps "
+            f"(min {min(steps)}, max {max(steps)}); optax carries a single "
+            f"count — resuming uses max, so bias correction for the "
+            f"lagging params will differ from torch's", stacklevel=2)
+    if missing and steps:
+        warnings.warn(
+            f"torch {network} optimizer has no state for param(s) "
+            f"{missing}: their moments resume at zero but share the "
+            f"advanced count {count}, diverging from torch's per-param "
+            f"bias correction", stacklevel=2)
 
     # build mu/nu pytrees congruent with params (identity-tagged walk, like
     # torch_params._load_into_tree)

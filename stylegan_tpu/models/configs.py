@@ -249,11 +249,14 @@ def generator_config_from_cfg(cfg) -> GeneratorConfig:
         cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
         cfg.model.gen.latent_size, cfg.conditional, cfg.n_classes,
         cfg.model.gen)
+    # fold_blur propagates independently of the packed layout: 'all' targets
+    # exactly the UNPACKED C>=64 fused stages (plain True no-ops there), so
+    # gating it on resolve_packed would silently drop it when packing is off.
+    fold = getattr(cfg.ops, "fold_blur", "auto")
+    g = replace(g, synthesis=replace(
+        g.synthesis, fold_blur=(True if fold == "auto" else fold)))
     if resolve_packed(cfg):
-        fold = getattr(cfg.ops, "fold_blur", "auto")
-        g = replace(g, synthesis=replace(
-            g.synthesis, packed=True,
-            fold_blur=(True if fold == "auto" else fold)))
+        g = replace(g, synthesis=replace(g.synthesis, packed=True))
     if getattr(cfg.ops, "remat", False):
         g = replace(g, synthesis=replace(g.synthesis, remat=True))
     return g
@@ -265,10 +268,10 @@ def discriminator_config_from_cfg(cfg) -> DiscriminatorConfig:
     d = discriminator_config_from_args(
         cfg.structure, cfg.dataset.resolution, cfg.dataset.channels,
         cfg.conditional, cfg.n_classes, cfg.model.dis)
+    fold = getattr(cfg.ops, "fold_blur", "auto")
+    d = replace(d, fold_blur=(True if fold == "auto" else fold))
     if resolve_packed(cfg):
-        fold = getattr(cfg.ops, "fold_blur", "auto")
-        d = replace(d, packed=True,
-                    fold_blur=(True if fold == "auto" else fold))
+        d = replace(d, packed=True)
     if getattr(cfg.ops, "remat", False):
         d = replace(d, remat=True)
     return d

@@ -90,7 +90,9 @@ def pack_same_kernel(w: jax.Array) -> jax.Array:
     k, _, ci, co = w.shape
     assert k % 2 == 1
     r = k // 2
-    kp = 1 if k == 1 else 3
+    # packed tap offset q = (d + t) >> 1 spans [-(r+1)//2, (r+1)>>1]:
+    # kp = 3 covers k in {3, 5}; 5-tap+ blurs (e.g. [1,4,6,4,1]) need more
+    kp = 1 if k == 1 else 2 * ((r + 1) // 2) + 1
     pad = kp // 2
     kern = jnp.zeros((kp, kp, ci, P, P, co, P, P), w.dtype)
     for di in range(P):
@@ -449,7 +451,13 @@ def conv_packed_up_blur(x: jax.Array, w: jax.Array, blur_k: jax.Array,
     tests/test_packed.py) at the cost of the up-conv alone: the composed
     taps occupy the same packed kernel slots, and the full-res blur pass —
     its dense-diagonal MACs and its two HBM sweeps over the (2H)^2 x 4C
-    activation — disappears."""
+    activation — disappears.
+
+    The border corrections are derived for the default 3-tap blur
+    (config.py blur_filter [1,2,1]); other sizes fall back to the exact
+    two-pass form rather than tracing into an assertion."""
+    if blur_k.shape[0] != 3:
+        return blur_packed(conv_packed_up(x, w, in_packed=in_packed), blur_k)
     y = conv_packed_up(x, w, in_packed=in_packed, blur_k=blur_k)
     return _up_blur_border_corrections(y, x, w, blur_k, in_packed)
 
@@ -559,7 +567,14 @@ def fused_upscale_conv_blur(x: jax.Array, w: jax.Array,
                             blur_k: jax.Array) -> jax.Array:
     """UNPACKED blur(fused_upscale_conv(x)) as one lhs-dilated conv with the
     composed 6x6 kernel + border fixes — for the C>=64 fused stages where
-    packing doesn't apply but the blur's extra full-res pass still does."""
+    packing doesn't apply but the blur's extra full-res pass still does.
+
+    Non-3-tap blur filters fall back to the two-pass form (the border
+    corrections are derived for [1,2,1])."""
+    if blur_k.shape[0] != 3:
+        from .linear import _fused_upscale_conv
+        from .primitives import blur2d
+        return blur2d(_fused_upscale_conv(x, w), blur_k)
     comp, pad = _composed_up_taps(w, blur_k)
     y = lax.conv_general_dilated(
         x, comp.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
@@ -573,7 +588,12 @@ def fused_upscale_conv_blur(x: jax.Array, w: jax.Array,
 def fused_downscale_conv_blur(x: jax.Array, w: jax.Array,
                               blur_k: jax.Array) -> jax.Array:
     """UNPACKED fused_downscale_conv(blur(x)) as one stride-2 conv with the
-    composed 6x6 kernel + border fixes."""
+    composed 6x6 kernel + border fixes (3-tap blurs only; other sizes fall
+    back to the two-pass form)."""
+    if blur_k.shape[0] != 3:
+        from .linear import _fused_downscale_conv
+        from .primitives import blur2d
+        return _fused_downscale_conv(blur2d(x, blur_k), w)
     comp, pad = _composed_down_taps(w, blur_k)
     y = lax.conv_general_dilated(
         x, comp.astype(x.dtype), (2, 2), [(pad, pad), (pad, pad)],
@@ -587,7 +607,10 @@ def conv_packed_down_blur(x: jax.Array, w: jax.Array,
                           blur_k: jax.Array) -> jax.Array:
     """downscale_conv(blur(x)) as ONE packed stride-2 conv + O(edge) border
     fixes — bit-equivalent to blur_packed followed by conv_packed_down
-    (tests/test_packed.py) at the cost of the downscale conv alone."""
+    (tests/test_packed.py) at the cost of the downscale conv alone.
+    3-tap blurs only; other sizes fall back to the two-pass form."""
+    if blur_k.shape[0] != 3:
+        return conv_packed_down(blur_packed(x, blur_k), w)
     y = conv_packed_down(x, w, blur_k=blur_k)
     return _down_blur_border_corrections(y, x, w, blur_k)
 
@@ -603,7 +626,19 @@ def blur_packed(x: jax.Array, kernel2d: jax.Array) -> jax.Array:
     formulation (36 weighted phase-mapped slices) was also tried and lost
     1.9x (344 vs 184 us/img at the 512 stage, batch 128): the slice access
     pattern costs more HBM traffic than the dense form wastes in MACs.
+
+    Any odd tap count works (pack_same_kernel sizes the packed kernel to
+    the tap span).  Even-tap kernels are rejected up front: SAME-style
+    padding (k-1)//2 shrinks H by 1 — torch does the same
+    (CustomLayers.py:251-276), breaking progressive blending there too —
+    and an odd H cannot exist in the packed layout.
     """
+    if kernel2d.shape[0] % 2 == 0:
+        raise ValueError(
+            f"blur_filter with even tap count {kernel2d.shape[0]} shrinks "
+            "the feature map by 1px (torch conv SAME semantics) and cannot "
+            "run in the packed layout; use an odd tap count or ops.packed: "
+            "false")
     c = x.shape[-1] // PP
     eye = jnp.eye(c, dtype=kernel2d.dtype)
     w = kernel2d[:, :, None, None] * eye[None, None]      # (k,k,C,C) diag

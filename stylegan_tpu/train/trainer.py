@@ -127,22 +127,27 @@ class StyleGAN:
         self.dis_cfg = discriminator_config_from_args(
             structure, resolution, num_channels, conditional, n_classes,
             d_args)
+        # 'auto' = OFF in the trainer: the fold is a measured +2.1% on
+        # synthesis forward but a net LOSS on the train step (-1.4% G /
+        # -7.7% D plain, ~-10% each under R1 — the border corrections'
+        # backward outweighs the saved blur pass; docs/DESIGN.md round
+        # 4).  Generation CLIs resolve 'auto' to ON (models/configs.py).
+        # Applied independently of packed_layout: 'all' targets the
+        # UNPACKED C>=64 fused stages too.
+        fold = False if fold_blur == "auto" else fold_blur
+        if fold:
+            from dataclasses import replace
+            self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
+                self.gen_cfg.synthesis, fold_blur=fold))
+            self.dis_cfg = replace(self.dis_cfg, fold_blur=fold)
         if packed_layout:
             # space-to-depth packed execution for the low-channel stages
             # (ops/packed.py) — a layout choice, not an architecture change;
-            # params/checkpoints are identical either way.  fold_blur rides
-            # along: exact math (border-corrected), one full-res pass fewer
-            # per packed G stage.
+            # params/checkpoints are identical either way.
             from dataclasses import replace
-            # 'auto' = OFF in the trainer: the fold is a measured +2.1% on
-            # synthesis forward but a net LOSS on the train step (-1.4% G /
-            # -7.7% D plain, ~-10% each under R1 — the border corrections'
-            # backward outweighs the saved blur pass; docs/DESIGN.md round
-            # 4).  Generation CLIs resolve 'auto' to ON (models/configs.py).
-            fold = False if fold_blur == "auto" else fold_blur
             self.gen_cfg = replace(self.gen_cfg, synthesis=replace(
-                self.gen_cfg.synthesis, packed=True, fold_blur=fold))
-            self.dis_cfg = replace(self.dis_cfg, packed=True, fold_blur=fold)
+                self.gen_cfg.synthesis, packed=True))
+            self.dis_cfg = replace(self.dis_cfg, packed=True)
         if remat_blocks:
             # rematerialize G/D blocks in backward (jax.checkpoint): lower
             # peak HBM per train step for one extra block forward each

@@ -514,3 +514,78 @@ def test_fold_blur_under_jit():
         dout = jax.jit(lambda p, x: discriminator_apply(
             dcfg_fold, p, x, depth=5, alpha=1.0))(dparams, imgs)
         np.testing.assert_allclose(dout, dref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("taps", [(1, 4, 6, 4, 1), (1, 1, 2, 4, 2, 1, 1)])
+def test_fold_blur_non3tap_falls_back(taps):
+    """Non-default ODD blur filters (the reference's blur_filter is user-
+    configurable, CustomLayers.py:251-276) must NOT trace into the 3-tap
+    border-correction assertion: every folded entry point falls back to the
+    exact two-pass form (ADVICE r4: a wider filter under the perf path
+    crashed at trace time)."""
+    key = jax.random.PRNGKey(33)
+    x = _rand(key, (2, 8, 8, 4))
+    w = _rand(jax.random.fold_in(key, 1), (3, 3, 4, 4)) * 0.3
+    bk = make_blur_kernel(taps)
+
+    up_ref = blur2d(_fused_upscale_conv(x, w), bk)
+    out = pk.conv_packed_up_blur(pk.space_to_depth(x), w, bk, in_packed=True)
+    np.testing.assert_allclose(pk.depth_to_space(out), up_ref, **TOL)
+    np.testing.assert_allclose(pk.fused_upscale_conv_blur(x, w, bk), up_ref,
+                               **TOL)
+
+    x16 = _rand(jax.random.fold_in(key, 2), (2, 16, 16, 4))
+    down_ref = _fused_downscale_conv(blur2d(x16, bk), w)
+    dout = pk.conv_packed_down_blur(pk.space_to_depth(x16), w, bk)
+    np.testing.assert_allclose(pk.depth_to_space(dout), down_ref, **TOL)
+    np.testing.assert_allclose(pk.fused_downscale_conv_blur(x16, w, bk),
+                               down_ref, **TOL)
+
+
+def test_fold_blur_even_tap_unpacked_falls_back_packed_rejects():
+    """Even-tap filters shrink H by 1 (torch SAME conv semantics): the
+    UNPACKED folded entry points still fall back to the exact two-pass
+    form, while the packed blur rejects them with a clear error instead of
+    a reshape crash (odd H cannot exist in the packed layout)."""
+    key = jax.random.PRNGKey(34)
+    x = _rand(key, (2, 8, 8, 4))
+    w = _rand(jax.random.fold_in(key, 1), (3, 3, 4, 4)) * 0.3
+    bk = make_blur_kernel((1, 3, 3, 1))
+    np.testing.assert_allclose(pk.fused_upscale_conv_blur(x, w, bk),
+                               blur2d(_fused_upscale_conv(x, w), bk), **TOL)
+    x16 = _rand(jax.random.fold_in(key, 2), (2, 16, 16, 4))
+    np.testing.assert_allclose(pk.fused_downscale_conv_blur(x16, w, bk),
+                               _fused_downscale_conv(blur2d(x16, bk), w),
+                               **TOL)
+    with pytest.raises(ValueError, match="even tap count"):
+        pk.blur_packed(pk.space_to_depth(x), bk)
+
+
+def test_fold_blur_cfg_flows_without_packed():
+    """ops.fold_blur: 'all' must reach the model configs even with packing
+    OFF — its whole point is the UNPACKED C>=64 fused stages (ADVICE r4:
+    it was silently dropped outside the resolve_packed branch)."""
+    from stylegan_tpu.config import get_default_cfg, resolve_packed
+    from stylegan_tpu.models import (discriminator_config_from_cfg,
+                                     generator_config_from_cfg)
+
+    cfg = get_default_cfg()
+    cfg.ops.fold_blur = "all"
+    assert not resolve_packed(cfg)                       # f32 default: off
+    g = generator_config_from_cfg(cfg)
+    d = discriminator_config_from_cfg(cfg)
+    assert not g.synthesis.packed and not d.packed
+    assert g.synthesis.fold_blur == "all"
+    assert d.fold_blur == "all"
+    # trainer path: fold_blur applies independently of packed_layout
+    from stylegan_tpu.train import StyleGAN
+    tr = StyleGAN(structure="linear", resolution=16, num_channels=3,
+                  latent_size=32,
+                  g_args={"latent_size": 32, "mapping_layers": 1,
+                          "fmap_base": 64, "fmap_max": 32},
+                  d_args={"fmap_base": 64, "fmap_max": 32},
+                  g_opt_args={"learning_rate": 1e-3},
+                  d_opt_args={"learning_rate": 1e-3},
+                  use_ema=False, packed_layout=False, fold_blur="all")
+    assert tr.gen_cfg.synthesis.fold_blur == "all"
+    assert tr.dis_cfg.fold_blur == "all"

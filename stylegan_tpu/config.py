@@ -166,6 +166,10 @@ def get_default_cfg() -> ConfigNode:
     c.structure = "fixed"
     c.conditional = False
     c.n_classes = 0
+    # registry name (losses.py): reference names plus the beyond-reference
+    # conditional variants ('conditional-relativistic-hinge',
+    # 'conditional-logistic' — the reference's only conditional objective
+    # is plain BCE 'conditional-loss')
     c.loss = "logistic"
     c.drift = 0.001
     c.d_repeats = 1

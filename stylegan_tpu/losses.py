@@ -216,6 +216,18 @@ def conditional_gen_loss(dis_fn, reals, fakes, axis_name=None):
     return _bce_with_logits(f, 1.0, axis_name)
 
 
+# Beyond-reference conditional variants (VERDICT r4 #6): the reference's
+# only conditional objective is plain BCE (Losses.py:54-89), which measured
+# as its weakest point (docs/conditional_run: own-class SWD worsened over
+# 8k steps while the same stack trains unconditional runs cleanly).  The
+# label conditioning lives entirely in the networks (G label embedding,
+# D label planes — GAN.py:326-369), and the train step closes dis_fn over
+# the labels before the loss ever sees it, so the stronger unconditional
+# objectives apply verbatim: these entries reuse the exact
+# relativistic-hinge / logistic(+R1) functions above with label-aware
+# scores.  get_loss gates them behind conditional=True.
+
+
 # ---------------------------------------------------------------------------
 # registry (names match reference GAN.py:535-555)
 # ---------------------------------------------------------------------------
@@ -229,16 +241,25 @@ LOSSES = {
     "wgan": (wgan_dis_loss, wgan_gen_loss),
     "wgan-gp": (wgan_gp_dis_loss, wgan_gp_gen_loss),
     "conditional-loss": (conditional_dis_loss, conditional_gen_loss),
+    "conditional-relativistic-hinge": (relativistic_hinge_dis_loss,
+                                       relativistic_hinge_gen_loss),
+    "conditional-logistic": (logistic_dis_loss, logistic_gen_loss),
 }
 
 # losses whose dis_loss needs a PRNG key (GP interpolates)
 NEEDS_KEY = {"wgan-gp"}
 
+# losses that ARE the logistic objective (R1 knobs — r1_gamma, lazy
+# interval, separate-reg — apply to these)
+LOGISTIC_LIKE = ("logistic", "conditional-logistic")
+
 
 def get_loss(name: str, conditional: bool = False):
     name = name.lower()
     if conditional:
-        assert name in ("conditional-loss",), f"Unknown conditional loss {name}"
+        assert name in ("conditional-loss", "conditional-relativistic-hinge",
+                        "conditional-logistic"), \
+            f"Unknown conditional loss {name}"
     else:
         assert name in ("logistic", "hinge", "standard-gan",
                         "relativistic-hinge", "wgan", "wgan-gp"), \

@@ -116,9 +116,10 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
         loss = "custom"
     else:
         dis_loss_fn, gen_loss_fn = get_loss(loss, conditional)
+    from ..losses import LOGISTIC_LIKE
     reg_gamma = None  # separate-pass R1 coefficient (StyleGAN2 lazy-reg)
     if r1_separate_reg:
-        assert loss == "logistic", \
+        assert loss in LOGISTIC_LIKE, \
             "r1_separate_reg only applies to the logistic loss"
         from functools import partial
         from ..losses import logistic_dis_loss
@@ -127,7 +128,8 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
             reg_gamma = eff
         dis_loss_fn = partial(logistic_dis_loss, r1_gamma=0.0)
     elif r1_gamma is not None:
-        assert loss == "logistic", "r1_gamma only applies to the logistic loss"
+        assert loss in LOGISTIC_LIKE, \
+            "r1_gamma only applies to the logistic loss"
         from functools import partial
         from ..losses import logistic_dis_loss
         dis_loss_fn = partial(logistic_dis_loss, r1_gamma=float(r1_gamma))
@@ -161,7 +163,7 @@ def build_train_step(gen_cfg, dis_cfg, g_tx, d_tx, *, depth: int,
     # into mixed real/fake chunks).  Also skipped when in-loss R1 is active:
     # XLA CSEs the separate-mode D(reals) forward with R1's D(reals) pass,
     # and fusing breaks that CSE for a net slowdown (measured -5%).
-    in_loss_r1 = (loss == "logistic" and not r1_separate_reg
+    in_loss_r1 = (loss in LOGISTIC_LIKE and not r1_separate_reg
                   and (r1_gamma is None or r1_gamma != 0.0))
     r1_active = in_loss_r1 or reg_gamma is not None
     can_fuse = (fuse_scores and mbstd_axis is None and mbstd_chunks == 1

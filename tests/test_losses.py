@@ -136,3 +136,23 @@ def test_registry():
         assert callable(d) and callable(g)
     d, g = losses.get_loss("conditional-loss", conditional=True)
     assert callable(d) and callable(g)
+
+
+def test_conditional_variant_registry():
+    """Beyond-reference conditional variants (VERDICT r4 #6): the label
+    conditioning lives in the networks (dis_fn closes over labels), so the
+    registry entries ARE the unconditional objective functions — and they
+    are gated behind conditional=True."""
+    d, g = losses.get_loss("conditional-relativistic-hinge", conditional=True)
+    assert d is losses.relativistic_hinge_dis_loss
+    assert g is losses.relativistic_hinge_gen_loss
+    d, g = losses.get_loss("conditional-logistic", conditional=True)
+    assert d is losses.logistic_dis_loss
+    assert g is losses.logistic_gen_loss
+    import pytest
+    with pytest.raises(AssertionError):
+        losses.get_loss("conditional-relativistic-hinge", conditional=False)
+    with pytest.raises(AssertionError):
+        losses.get_loss("relativistic-hinge", conditional=True)
+    assert "conditional-logistic" in losses.LOGISTIC_LIKE
+    assert "logistic" in losses.LOGISTIC_LIKE

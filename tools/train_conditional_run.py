@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--eval_every", type=int, default=400)
     ap.add_argument("--pool_per_class", type=int, default=512)
     ap.add_argument("--out", default="runs/conditional_64")
+    ap.add_argument("--loss", default="conditional-loss",
+                    help="conditional-loss (reference BCE) | "
+                         "conditional-relativistic-hinge | "
+                         "conditional-logistic (beyond-reference variants)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--budget_s", type=float, default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -116,7 +120,7 @@ def main():
         g_args=opt.model.gen, d_args=opt.model.dis,
         g_opt_args=opt.model.g_optim, d_opt_args=opt.model.d_optim,
         conditional=True, n_classes=N_CLASSES,
-        loss="conditional-loss", use_ema=True, ema_decay=0.999,
+        loss=args.loss, use_ema=True, ema_decay=0.999,
         seed=args.seed, activations_dtype="bfloat16", packed_layout=True)
     depth = trainer.depth - 1
 
@@ -197,10 +201,14 @@ def main():
                           for c in labels])
         flip = rs.rand(args.batch) < 0.5
         reals[flip] = reals[flip, :, ::-1]
+        # deferred fetch: losses pulled only at the log cadence so the steps
+        # pipeline (a per-step float() costs ~2-3x the step's own compute
+        # through the tunnel)
         d_loss, g_loss = trainer.train_on_batch(reals, depth, alpha=1.0,
-                                                labels=labels.astype(np.int64))
+                                                labels=labels.astype(np.int64),
+                                                fetch=False)
         if step % 100 == 0:
-            log(f"step {step}: d={d_loss:.4f} g={g_loss:.4f} "
+            log(f"step {step}: d={float(d_loss):.4f} g={float(g_loss):.4f} "
                 f"({time.time()-t0:.0f}s)")
     mf.close()
 
@@ -218,7 +226,7 @@ def main():
         "conditioning_separates": bool(cross_last > own_last * 1.2),
         "wall_s": round(time.time() - t0, 1),
         "config": f"{RES}^2 conditional ({N_CLASSES} classes) "
-                  f"conditional-loss packed bf16 EMA batch {args.batch}",
+                  f"{args.loss} packed bf16 EMA batch {args.batch}",
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({**summary, "history": history}, f, indent=1)

@@ -105,7 +105,7 @@ class StyleGAN:
             f"r1_interval must be >= 1 (got {r1_interval}); R1 itself is " \
             "part of the logistic loss — pick a different loss to disable it"
         if self.r1_interval > 1:
-            assert self.loss_name == "logistic", \
+            assert self.loss_name in ("logistic", "conditional-logistic"), \
                 "r1_interval > 1 requires the logistic loss"
         # StyleGAN2's full lazy-regularization dynamics: R1 becomes a
         # SEPARATE Adam update after the main D update (steps.reg_update)
@@ -114,7 +114,7 @@ class StyleGAN:
         # folded every-N gradient spike (the DESIGN.md caveat on large N).
         self.r1_separate_reg = bool(r1_separate_reg)
         if self.r1_separate_reg:
-            assert self.loss_name == "logistic", \
+            assert self.loss_name in ("logistic", "conditional-logistic"), \
                 "r1_separate_reg requires the logistic loss"
             from .state import lazy_reg_adam_correction
             d_opt_args = lazy_reg_adam_correction(dict(d_opt_args),
@@ -257,7 +257,8 @@ class StyleGAN:
             r1_gamma = None
             if lazy:
                 r1_gamma = self.r1_gamma * self.r1_interval if with_r1 else 0.0
-            elif self.loss_name == "logistic" and self.r1_gamma != 10.0:
+            elif self.loss_name in ("logistic", "conditional-logistic") \
+                    and self.r1_gamma != 10.0:
                 r1_gamma = self.r1_gamma  # non-default gamma, every-step R1
             # separate-reg only on programs that actually carry the penalty
             # (the lazy gamma=0 program has no reg pass at all)
@@ -362,14 +363,21 @@ class StyleGAN:
                         scale_factor=int(scale_factor))
 
     # ------------------------------------------------------------------
-    def train_on_batch(self, images, depth, alpha, labels=None):
+    def train_on_batch(self, images, depth, alpha, labels=None, fetch=True):
         """One fused D+G update on a batch of full-res reals.
 
         Single process: `images` is the full global batch.  Multi-host
         (jax.process_count() > 1, after parallel.initialize_distributed):
         `images` is this process's *local shard* of the global batch (the
         loader's per-host stripe; global batch = local * host_count), and the
-        trainer requires a fixed mesh spanning all global devices."""
+        trainer requires a fixed mesh spanning all global devices.
+
+        fetch=False returns the loss scalars as device arrays WITHOUT
+        blocking on them: through the tunneled backend a per-step float()
+        costs a full host round trip (~0.1-0.2 s — 2-3x the 128^2 step's
+        own compute), so a loop that defers the fetch to its logging
+        cadence pipelines steps back-to-back on the device.  Call float()
+        on the returned scalars whenever a number is actually needed."""
         nproc = jax.process_count()
         global_batch = images.shape[0] * nproc
         if self.mesh is not None:
@@ -431,6 +439,8 @@ class StyleGAN:
                           if nproc > 1 else jnp.asarray(labels))
             args = args + (labels_dev,)
         self.state, metrics = step(*args)
+        if not fetch:
+            return metrics["d_loss"], metrics["g_loss"]
         return float(metrics["d_loss"]), float(metrics["g_loss"])
 
     def sample(self, depth, alpha, num_samples=None, z=None, labels=None,
@@ -464,9 +474,10 @@ class StyleGAN:
         assert self.depth <= len(fade_in_percentage), \
             "fade_in_percentage not compatible with depth"
 
-        from ..utils.profiling import MetricsWriter, StepTimer
+        from ..utils.profiling import MetricsWriter
         metrics_writer = MetricsWriter(os.path.join(output, "metrics.jsonl"))
-        timer = StepTimer()
+        window_t0 = time.perf_counter()
+        window_imgs, window_steps = 0, 0
         abort_file = os.path.join(output, "abort.txt")
 
         global_time = time.time()
@@ -501,15 +512,31 @@ class StyleGAN:
                         images, labels = batch
                     else:
                         images, labels = batch, None
+                    # deferred fetch: losses stay device-side except at the
+                    # feedback cadence, so steps pipeline without paying a
+                    # host round trip each (2-3x wall at 128^2 through the
+                    # tunnel; reference semantics are unchanged — it also
+                    # only *reports* at feedback points, GAN.py:758-776)
                     dis_loss, gen_loss = self.train_on_batch(
-                        images, current_depth, alpha, labels)
-                    step_time = timer.tick()
+                        images, current_depth, alpha, labels, fetch=False)
+                    window_imgs += len(images)
+                    window_steps += 1
 
                     if i % int(total_batches / feedback_factor + 1) == 0 \
                             or i == 1:
+                        # float() blocks until every pipelined step landed,
+                        # so window wall time / window images is the honest
+                        # throughput (a per-step EMA would average tiny
+                        # dispatch times against one big fetch stall)
+                        dis_loss, gen_loss = float(dis_loss), float(gen_loss)
+                        now = time.perf_counter()
+                        ips = (window_imgs / (now - window_t0)
+                               if now > window_t0 and i > 1 else None)
+                        step_time = ((now - window_t0) / max(1, window_steps)
+                                     if i > 1 else None)
+                        window_t0, window_imgs, window_steps = now, 0, 0
                         elapsed = str(datetime.timedelta(
                             seconds=time.time() - global_time)).split(".")[0]
-                        ips = timer.images_per_sec(len(images))
                         logger.info(
                             "Elapsed: [%s] Step: %d  Batch: %d  "
                             "D_Loss: %f  G_Loss: %f  imgs/s: %s",

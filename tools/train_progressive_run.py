@@ -328,8 +328,14 @@ def main():
                 do_eval(depth, ticker - 1, alpha, steps_d,
                         grid=(ticker == 1))
             reals = draw_batch(pool, rs, batch)
-            d_loss, g_loss = trainer.train_on_batch(reals, depth, alpha)
-            if depth == boundary_depth and ticker <= args.resume_k:
+            # deferred fetch except in the resume-proof window: per-step
+            # float() costs a host round trip (~2-3x the step's compute
+            # through the tunnel); deferring lets steps pipeline — the r4
+            # run spent most of its 4372s wall on these fetches
+            in_proof = depth == boundary_depth and ticker <= args.resume_k
+            d_loss, g_loss = trainer.train_on_batch(reals, depth, alpha,
+                                                    fetch=in_proof)
+            if in_proof:
                 expected_losses.append([d_loss, g_loss])
                 if ticker == args.resume_k:
                     with open(expected_path, "w") as f:
@@ -337,8 +343,8 @@ def main():
                                    "depth": depth}, f)
             global_step += 1
             if ticker % 200 == 0:
-                log(f"d{depth} step {ticker}/{steps_d}: d={d_loss:.4f} "
-                    f"g={g_loss:.4f} ({time.time()-t0:.0f}s)")
+                log(f"d{depth} step {ticker}/{steps_d}: d={float(d_loss):.4f} "
+                    f"g={float(g_loss):.4f} ({time.time()-t0:.0f}s)")
             if args.budget_s and time.time() - t0 > args.budget_s:
                 aborted = f"budget hit at depth {depth} step {ticker}"
                 log(aborted)

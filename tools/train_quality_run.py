@@ -155,9 +155,14 @@ def main():
             reals = pool[idx]
             flip = rs.rand(args.batch) < 0.5
             reals[flip] = reals[flip, :, ::-1]
-            d_loss, g_loss = trainer.train_on_batch(reals, depth, alpha=1.0)
+            # deferred fetch: losses pulled only at the log cadence so the
+            # steps pipeline (a per-step float() costs ~2-3x the step's own
+            # compute through the tunnel)
+            d_loss, g_loss = trainer.train_on_batch(reals, depth, alpha=1.0,
+                                                    fetch=False)
             if step % 100 == 0:
-                print(f"# step {step}: d={d_loss:.4f} g={g_loss:.4f} "
+                print(f"# step {step}: d={float(d_loss):.4f} "
+                      f"g={float(g_loss):.4f} "
                       f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     summary = {

@@ -10,7 +10,10 @@ mesh -> build_gspmd_train_step (logistic + R1, the grad-of-grad program) fed
 with jax.make_array_from_process_local_data-assembled global arrays — then
 dumps its replicated post-step parameters and losses for the parent test to
 compare across processes (identical: GSPMD all-reduces parameter gradients
-to replicated updates over both DCN-modeled axes).
+to replicated updates over both DCN-modeled axes).  Trainer-level multi-host
+coverage lives in multihost_worker.py; the 2-D-mesh trainer path is covered
+single-process in tests/test_spatial.py (a trainer phase here was cut in
+round 5 — it doubled the driver dryrun's cost re-proving known semantics).
 
 The reference has no multi-device path at all (SURVEY.md §2.11); this is
 the executable proof that the 2-D spatial training step survives process
@@ -23,6 +26,12 @@ import sys
 
 
 def main():
+    import time
+    t0 = time.time()
+
+    def mark(m):
+        print(f"[{time.time() - t0:5.1f}s] {m}", flush=True)
+
     port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -32,6 +41,10 @@ def main():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # correctness worker on virtual CPU devices: compile fast, not well
+    # (bitwise cross-process equality compares two runs of the SAME
+    # program, unaffected by the optimization level)
+    jax.config.update("jax_disable_most_optimizations", True)
 
     import numpy as np
     from jax.sharding import Mesh, NamedSharding
@@ -44,9 +57,11 @@ def main():
     from stylegan_tpu.train import (build_gspmd_train_step, create_train_state,
                                     make_d_optimizer, make_g_optimizer)
 
+    mark("imports done")
     initialize_distributed(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
     assert jax.process_count() == 2 and jax.device_count() == 8
+    mark("distributed up")
 
     # jax.devices() is ordered by process, so reshape(2, 4) gives one data
     # row per process — every spatial shard of a host's images stays on
@@ -106,33 +121,16 @@ def main():
     with open(os.path.join(out_dir, f"gspmd_losses_{pid}.json"), "w") as f:
         json.dump(losses, f)
 
-    # ---- trainer-level path: a fixed 2-D mesh handed straight to StyleGAN
-    # (train_on_batch shards reals P('data','spatial') per host stripe and
-    # _get_step picks the GSPMD program) ---------------------------------
-    from stylegan_tpu.train import StyleGAN
-    g_args = {"latent_size": latent, "mapping_layers": 2,
-              "fmap_base": 128, "fmap_max": 32,
-              "blur_filter": [1, 2, 1], "truncation_psi": 0.7,
-              "truncation_cutoff": 8}
-    d_args = {"use_wscale": True, "fmap_base": 128, "fmap_max": 32,
-              "blur_filter": [1, 2, 1]}
-    opt_args = {"learning_rate": 0.003, "beta_1": 0.0, "beta_2": 0.99,
-                "eps": 1e-8}
-    trainer = StyleGAN(structure="linear", resolution=res, num_channels=3,
-                       latent_size=latent, g_args=g_args, d_args=d_args,
-                       g_opt_args=opt_args, d_opt_args=opt_args,
-                       loss="logistic", use_ema=True, seed=0, mesh=mesh)
-    t_losses = []
-    for i in range(2):
-        local = rng.randn(2, 8, res, res, 3).astype(np.float32)[pid]
-        d, g = trainer.train_on_batch(local, depth=depth, alpha=0.5)
-        t_losses.append([d, g])
-    dump(trainer.state.g_params, "gspmd_trainer_gparams")
-    dump(trainer.state.d_params, "gspmd_trainer_dparams")
-    with open(os.path.join(out_dir, f"gspmd_trainer_losses_{pid}.json"),
-              "w") as f:
-        json.dump(t_losses, f)
+    mark("steps-level phase done")
     print(f"gspmd worker {pid} done", flush=True)
+    # NB a trainer-level phase (StyleGAN + fixed 2-D mesh, train_on_batch
+    # assembling per-host stripes) used to follow here; it was the single
+    # most expensive piece of the driver's multichip dryrun (+158 s on a
+    # 1-CPU host for one more compile of semantics already proven) and was
+    # cut in round 5.  Trainer-level multi-host coverage lives in
+    # multihost_worker.py (full StyleGAN + per-host sharded loader across
+    # the process boundary, 1-D mesh); the 2-D mesh trainer path is covered
+    # single-process in tests/test_spatial.py.
 
 
 if __name__ == "__main__":

@@ -56,7 +56,11 @@ def draw_style_mixing_figure(png, gen_cfg, params, out_depth, src_seeds,
     for row, img in enumerate(dst_images):
         canvas.paste(Image.fromarray(to_u8(img), "RGB"), (0, (row + 1) * h))
         row_dl = np.stack([dst_dl[row]] * n_col)
-        row_dl[:, style_ranges[row]] = src_dl[:, style_ranges[row]]
+        # clamp the hardcoded reference ranges (:98, sized for the 14-layer
+        # 256^2 model) to this model's layer count so shallow models render
+        # instead of indexing out of bounds; in-bounds behavior identical
+        rows = [i for i in style_ranges[row] if i < row_dl.shape[1]]
+        row_dl[:, rows] = src_dl[:, rows]
         row_images = np.asarray(synth(row_dl, key))
         for col, mimg in enumerate(row_images):
             canvas.paste(Image.fromarray(to_u8(mimg), "RGB"),
